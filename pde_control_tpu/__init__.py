@@ -1,0 +1,20 @@
+"""pde_control_tpu — TPU-native differentiable-physics PDE control framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of holl-/PDE-Control
+("Learning to Control PDEs with Differentiable Physics", ICLR 2020) and the slice
+of PhiFlow 1.x it depends on (reference: src/control/*, phi/physics/*, phi/tf/* [R]
+per SURVEY.md — the reference mount was empty, citations are reconstructed).
+
+Design notes (TPU-first, not a port):
+  * PhiFlow's struct system -> JAX pytrees (flax.struct dataclasses).
+  * TF1 static graph of the unrolled control sequence -> one jit-traced pure
+    function; sequence builders are trace-time Python.
+  * Unrolled-CG autodiff -> `lax.custom_linear_solve` (backward = one more CG).
+  * Per-network tf.train.Saver checkpoints -> per-collection param subtrees
+    with msgpack/orbax checkpoints and optax masked optimizers.
+  * Batch axis -> data-parallel `jax.sharding.Mesh` over ICI.
+"""
+
+__version__ = "0.1.0"
+
+from pde_control_tpu import grids, ops, physics  # noqa: F401

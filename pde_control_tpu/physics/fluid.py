@@ -1,0 +1,108 @@
+"""2D incompressible Navier-Stokes step (smoke / shape-transition physics).
+
+Replaces `phi/physics/fluid.py :: Fluid / IncompressibleFlow.step` [R]
+(SURVEY.md §2b, §3.1): semi-Lagrangian advection of marker and velocity →
+explicit diffusion → additive forces / buoyancy → pressure projection.
+
+Order of operations matches the reference [R]: advect(density, velocity) →
+advect(velocity) → diffuse → effects (forces, buoyancy) → divergence_free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.struct
+import jax.numpy as jnp
+
+from pde_control_tpu.grids import Domain2D, Staggered2D, centered_to_y_faces
+from pde_control_tpu.ops.stencils import laplace
+from pde_control_tpu.physics.advect import advect_centered, advect_staggered
+from pde_control_tpu.physics.poisson import solve_pressure
+
+
+@flax.struct.dataclass
+class FluidState:
+    """velocity: MAC grid; density: (B, H, W) passive marker (smoke)."""
+
+    velocity: Staggered2D
+    density: jnp.ndarray
+
+    @classmethod
+    def zeros(cls, batch: int, h: int, w: int, dtype=jnp.float32) -> "FluidState":
+        return cls(
+            velocity=Staggered2D.zeros(batch, h, w, dtype),
+            density=jnp.zeros((batch, h, w), dtype),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class FluidConfig:
+    """Static solver parameters for the NS step (trace-time constants)."""
+
+    dt: float = 1.0
+    viscosity: float = 0.0
+    buoyancy: float = 0.1          # upward force per unit density (y+ is up)
+    advection_mode: str = "shift"  # 'shift' (TPU-fast) | 'gather'
+    max_shift: int = 2             # CFL bound for shift advection
+    pressure_tol: float = 1e-5
+    pressure_maxiter: int = 500
+
+
+def divergence_free(
+    v: Staggered2D, domain: Domain2D, cfg: FluidConfig
+) -> tuple[Staggered2D, jnp.ndarray]:
+    """Project velocity onto its divergence-free part (Chorin projection).
+
+    Replaces `phi.physics.fluid.divergence_free` [R]. Returns (v', p) with
+    div v' ≈ 0 on fluid cells and v'·n = 0 on blocked faces.
+    """
+    v = domain.mask_velocity(v)
+    div = v.divergence(domain.dx)
+    p = solve_pressure(div, domain, tol=cfg.pressure_tol, maxiter=cfg.pressure_maxiter)
+    v = v - domain.pressure_gradient(p)
+    return v, p
+
+
+def fluid_step(
+    state: FluidState,
+    domain: Domain2D,
+    cfg: FluidConfig,
+    force: Staggered2D | None = None,
+    buoyancy_factor: jnp.ndarray | float | None = None,
+) -> FluidState:
+    """One differentiable incompressible-flow step.
+
+    Args:
+      state: current (velocity, density).
+      domain: geometry (walls, obstacles).
+      cfg: solver parameters.
+      force: optional staggered control force, applied as +dt·F (direct
+        velocity forcing — shape-transition task).
+      buoyancy_factor: overrides cfg.buoyancy when given; may be a traced
+        per-batch scalar (B, 1, 1) — the *indirect* control channel of the
+        smoke task (buoyancy-only forcing [R], BASELINE config 4).
+    Returns: next FluidState (projected velocity, advected density).
+    """
+    dt, dx = cfg.dt, domain.dx
+    adv = dict(dx=dx, mode=cfg.advection_mode, max_shift=cfg.max_shift)
+
+    density = advect_centered(state.density, state.velocity, dt, **adv)
+    v = advect_staggered(state.velocity, dt, **adv)
+
+    if cfg.viscosity:
+        v = Staggered2D(
+            vy=v.vy + dt * cfg.viscosity * laplace(v.vy, dx, "neumann"),
+            vx=v.vx + dt * cfg.viscosity * laplace(v.vx, dx, "neumann"),
+        )
+
+    if force is not None:
+        v = v + dt * force
+
+    buoy = cfg.buoyancy if buoyancy_factor is None else buoyancy_factor
+    if buoyancy_factor is not None or cfg.buoyancy:
+        d_at_y = centered_to_y_faces(density)
+        v = Staggered2D(vy=v.vy + dt * buoy * d_at_y, vx=v.vx)
+
+    v, _ = divergence_free(v, domain, cfg)
+    return FluidState(velocity=v, density=density)

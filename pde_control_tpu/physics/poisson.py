@@ -1,0 +1,137 @@
+"""Differentiable pressure-Poisson solve: masked CG under custom_linear_solve.
+
+Replaces `phi/physics/pressuresolver/{sparse,geom}.py :: SparseCG/GeometricCG`
+and the reference's CUDA pressure-solve custom ops [R] (SURVEY.md §2b/§2c).
+
+Key TPU-native deviations from the reference:
+  * The reference unrolls CG iterations inside the TF graph so autodiff
+    replays them; here `lax.custom_linear_solve(..., symmetric=True)` makes
+    the backward pass a single transpose (= same) CG solve — O(1) memory in
+    iteration count and ~2× faster backward.
+  * The operator is matrix-free: div(acc·grad p) built from the same gated
+    stencils as the velocity correction, so operator and correction are
+    consistent by construction (no sparse-matrix assembly).
+
+The SPD operator solved is  A p = −div(acc·grad p)  on fluid cells and
+identity on solid cells (block-diagonal, symmetric). For closed domains A is
+singular with a constant nullspace per connected fluid component; we project
+the rhs to zero fluid-mean, which keeps CG in the orthogonal complement.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pde_control_tpu.grids import Domain2D
+
+
+def masked_laplace_spd(p: jnp.ndarray, domain: Domain2D) -> jnp.ndarray:
+    """A p = −div(acc·grad p) on fluid cells; p on solid cells. (B, H, W)."""
+    grad = domain.pressure_gradient(p)
+    lap = grad.divergence(domain.dx)
+    fluid = domain.fluid_mask
+    return jnp.where(fluid > 0, -lap, p)
+
+
+def _spatial_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Per-batch-element inner product over spatial axes, keepdims (B,1,1)."""
+    return jnp.sum(a * b, axis=tuple(range(1, a.ndim)), keepdims=True)
+
+
+def cg(matvec, b: jnp.ndarray, tol: float, maxiter: int, x0=None) -> jnp.ndarray:
+    """Batched conjugate gradients on an SPD (possibly singular) matvec.
+
+    Each batch element runs its own CG (per-element α/β via spatial dots).
+    Per-element safeguards make this robust in fp32 (verified empirically:
+    un-guarded CG iterated past its fp32 convergence floor diverges):
+      * an element freezes (α=β=0) once its relative residual is below
+        `tol` — no post-convergence drift;
+      * an element freezes if its residual grows ≥4× above the best seen
+        (fp32 breakdown on singular systems); the best iterate is returned.
+    """
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - matvec(x)
+    d = r
+    rs = _spatial_dot(r, r)
+    b2 = jnp.maximum(_spatial_dot(b, b), 1e-30)
+    tol2 = tol * tol
+
+    def active(rs_i, rs_best):
+        return jnp.logical_and(rs_i / b2 > tol2, rs_i < 4.0 * rs_best)
+
+    def cond(state):
+        _, _, _, rs_i, _, rs_best, k = state
+        return jnp.logical_and(k < maxiter, jnp.any(active(rs_i, rs_best)))
+
+    def body(state):
+        x, r, d, rs_i, x_best, rs_best, k = state
+        act = active(rs_i, rs_best)
+        ad = matvec(d)
+        dad = _spatial_dot(d, ad)
+        ok = jnp.logical_and(act, dad > 0)
+        alpha = jnp.where(ok, rs_i / jnp.where(dad > 0, dad, 1.0), 0.0)
+        x = x + alpha * d
+        r = r - alpha * ad
+        rs_new = _spatial_dot(r, r)
+        beta = jnp.where(ok, rs_new / jnp.where(rs_i > 0, rs_i, 1.0), 0.0)
+        d = r + beta * d
+        better = rs_new < rs_best
+        x_best = jnp.where(better, x, x_best)
+        rs_best = jnp.minimum(rs_new, rs_best)
+        return x, r, d, rs_new, x_best, rs_best, k + 1
+
+    state = (x, r, d, rs, x, rs, jnp.int32(0))
+    _, _, _, _, x_best, _, _ = lax.while_loop(cond, body, state)
+    return x_best
+
+
+def solve_pressure(
+    div: jnp.ndarray,
+    domain: Domain2D,
+    tol: float = 1e-5,
+    maxiter: int = 500,
+) -> jnp.ndarray:
+    """Solve div(acc·grad p) = div_v for p. div: (B, H, W) → p: (B, H, W).
+
+    Differentiable via implicit differentiation (`custom_linear_solve`,
+    symmetric): the VJP solves the same SPD system once with the cotangent
+    as rhs. Domain masks are treated as non-differentiable geometry.
+    """
+    fluid = lax.stop_gradient(domain.fluid_mask)
+    geom = jax.tree_util.tree_map(lax.stop_gradient, domain)
+
+    b = jnp.where(fluid > 0, -div, 0.0)
+    if domain.closed:
+        # Closed domain → A is singular (constants-on-fluid nullspace).
+        # Project rhs into range(A) and wrap the operator as P∘A∘P so CG
+        # iterates stay in the compatible subspace despite fp32 rounding.
+        n_fluid = jnp.maximum(jnp.sum(fluid), 1.0)
+
+        def project(p):
+            mean = (
+                jnp.sum(p * fluid, axis=tuple(range(1, p.ndim)), keepdims=True)
+                / n_fluid
+            )
+            return jnp.where(fluid > 0, p - mean, p)
+
+        def matvec(p):
+            return project(masked_laplace_spd(project(p), geom))
+
+        def solve(mv, rhs):
+            # Project the rhs INSIDE the solve: the backward pass feeds the
+            # loss cotangent through this same function, and that cotangent
+            # generally has a nullspace component — without projection CG's
+            # first step explodes and the pseudo-inverse VJP is lost.
+            return cg(mv, project(rhs), tol=tol, maxiter=maxiter)
+
+    else:
+
+        def matvec(p):
+            return masked_laplace_spd(p, geom)
+
+        def solve(mv, rhs):
+            return cg(mv, rhs, tol=tol, maxiter=maxiter)
+
+    return lax.custom_linear_solve(matvec, b, solve=solve, symmetric=True)

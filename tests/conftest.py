@@ -1,0 +1,23 @@
+"""Test config: force an 8-device virtual CPU mesh (SURVEY.md §4 item 5).
+
+Must run before any jax import — pytest loads conftest first. Tests exercise
+the same code paths as TPU (jit/pallas-interpret/sharding); the driver's
+bench runs on the real chip.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
