@@ -1,0 +1,103 @@
+"""Benchmark: unrolled solve+backprop steps/sec on the 64² smoke-control
+training iteration (BASELINE.json :: metric).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+`value` = (rollout steps × batch) / wall-clock second for a full training
+iteration (forward rollout + backward + optimizer update) at 64², staggered
+OP hierarchy, CG pressure projection — i.e., differentiable-solver steps
+backpropped per second.
+
+`vs_baseline`: speedup vs the CPU comparator (SURVEY.md §6: with the
+reference mount empty, the comparator is the same training iteration run on
+the CPU backend — measured once in a subprocess and cached in
+.bench_baseline.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+H = 64
+N_STEPS = 16
+BATCH = 8
+WARMUP = 2
+ITERS = 8
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_baseline.json")
+
+
+def measure(iters: int = ITERS, warmup: int = WARMUP) -> dict:
+    import jax
+
+    from __graft_entry__ import _make_app, _make_batch  # enables compile cache
+
+    app = _make_app(H, N_STEPS, BATCH, maxiter=100)
+    batch = _make_batch(H, N_STEPS, BATCH)
+
+    t0 = time.time()
+    for _ in range(warmup):
+        app.progress(batch)
+    jax.block_until_ready(app.params)
+    compile_time = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(iters):
+        app.progress(batch)
+    jax.block_until_ready(app.params)
+    dt = (time.time() - t0) / iters
+    return {
+        "iter_sec": dt,
+        "steps_per_sec": N_STEPS * BATCH / dt,
+        "compile_sec": compile_time,
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+    }
+
+
+def cpu_baseline() -> float:
+    """Measure (or load cached) CPU steps/sec for the same iteration."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["steps_per_sec"]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--measure-only"],
+        capture_output=True, text=True, env=env, timeout=3600,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    result = json.loads(line)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(result, f)
+    return result["steps_per_sec"]
+
+
+def main() -> None:
+    if "--measure-only" in sys.argv:
+        r = measure(iters=3, warmup=1)
+        print(json.dumps(r))
+        return
+    r = measure()
+    try:
+        base = cpu_baseline()
+        vs = r["steps_per_sec"] / base if base > 0 else float("nan")
+    except Exception:
+        vs = float("nan")
+    print(json.dumps({
+        "metric": "solve+backprop steps/sec, 64x64 smoke-control training "
+                  "iteration (n=16, batch=8, staggered OPs, CG projection)",
+        "value": round(r["steps_per_sec"], 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(vs, 3) if vs == vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Incompressible-flow PDE plugin — rebuild of
+`src/control/pde/incompressible_flow.py :: IncompressibleFluidPDE` [R]
+(SURVEY.md §2a, BASELINE configs 3-5).
+
+State = FluidState (MAC velocity + density). Observation = the density
+(marker) field, one channel — the shape-transition and smoke tasks both
+observe smoke density [R].
+
+Two control modes (SURVEY.md §2a "two force modes"):
+  * ``direct``   — CFE outputs a 2-channel centered force field, resampled
+    to faces and applied as +dt·F (shape transition).
+  * ``buoyancy`` — *indirect* control: CFE outputs a scalar field b(x); the
+    force is an extra buoyancy term dt·b·ρ on y-faces only (upward forces
+    proportional to local smoke density — the smoke-plume task [R?], the
+    exact reference parameterization could not be read from the empty mount).
+
+An optional static ``force_mask`` (H, W) restricts where forces may act.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pde_control_tpu.control.pde_base import PDE
+from pde_control_tpu.grids import (
+    Domain2D,
+    Staggered2D,
+    centered_to_x_faces,
+    centered_to_y_faces,
+)
+from pde_control_tpu.models.nets import CFENet, UNet
+from pde_control_tpu.physics.fluid import FluidConfig, FluidState, fluid_step
+
+
+class IncompressibleFluidPDE(PDE):
+    dim = 2
+    obs_channels = 1
+
+    def __init__(
+        self,
+        domain: Domain2D,
+        cfg: FluidConfig = FluidConfig(),
+        control: str = "direct",          # 'direct' | 'buoyancy'
+        force_mask: jnp.ndarray | None = None,  # (H, W), 1 = forcing allowed
+        unet_levels: int = 4,
+        dtype=jnp.float32,
+    ):
+        if control not in ("direct", "buoyancy"):
+            raise ValueError(f"unknown control mode {control!r}")
+        self.domain = domain
+        self.cfg = cfg
+        self.control = control
+        self.force_mask = force_mask
+        self.unet_levels = unet_levels
+        self.dtype = dtype
+
+    # solver ---------------------------------------------------------------
+    def step(self, state: FluidState, force: Staggered2D | None) -> FluidState:
+        return fluid_step(state, self.domain, self.cfg, force=force)
+
+    def observe(self, state: FluidState) -> jnp.ndarray:
+        return state.density[..., None]
+
+    def zero_force(self, state: FluidState) -> Staggered2D:
+        return Staggered2D(
+            vy=jnp.zeros_like(state.velocity.vy),
+            vx=jnp.zeros_like(state.velocity.vx),
+        )
+
+    def force_cost(self, force: Staggered2D) -> jnp.ndarray:
+        dx2 = self.domain.dx * self.domain.dx
+        return (
+            jnp.sum(force.vy**2, axis=(1, 2)) + jnp.sum(force.vx**2, axis=(1, 2))
+        ) * dx2
+
+    # net glue ---------------------------------------------------------------
+    def cfe_inputs(self, state: FluidState, target_obs: jnp.ndarray) -> jnp.ndarray:
+        vy_c, vx_c = state.velocity.at_centers()
+        b = state.density.shape[0]
+        mask = jnp.broadcast_to(
+            self.domain.fluid_mask[None], state.density.shape
+        )
+        chans = [state.density, vy_c, vx_c, target_obs[..., 0], mask]
+        return jnp.stack(chans, axis=-1)
+
+    def force_from_net(self, net_out: jnp.ndarray, state: FluidState) -> Staggered2D:
+        if self.force_mask is not None:
+            net_out = net_out * self.force_mask[None, :, :, None]
+        if self.control == "buoyancy":
+            # Upward force ∝ smoke density, modulated by the net's scalar
+            # field — forces exist only where smoke is (indirect control).
+            b_at_y = centered_to_y_faces(net_out[..., 0] * state.density)
+            return Staggered2D(vy=b_at_y, vx=jnp.zeros_like(state.velocity.vx))
+        fy = centered_to_y_faces(net_out[..., 0])
+        fx = centered_to_x_faces(net_out[..., 1])
+        return Staggered2D(vy=fy, vx=fx)
+
+    def build_cfe(self):
+        out = 1 if self.control == "buoyancy" else 2
+        return CFENet(out_channels=out, dim=2, dtype=self.dtype)
+
+    def build_op(self):
+        return UNet(out_channels=1, levels=self.unet_levels, base_features=16,
+                    dim=2, dtype=self.dtype)
+
+    def op_inputs(self, o_start, o_end):
+        mask = jnp.broadcast_to(
+            self.domain.fluid_mask[None, :, :, None], o_start.shape
+        )
+        return jnp.concatenate([o_start, o_end, mask], axis=-1)
+
+    # data glue ---------------------------------------------------------------
+    def initial_state(self, batch: dict) -> FluidState:
+        h, w = self.domain.grid_shape
+        b = batch["obs"].shape[0]
+        if "vy0" in batch:
+            vel = Staggered2D(vy=batch["vy0"], vx=batch["vx0"])
+        else:
+            vel = Staggered2D.zeros(b, h, w)
+        return FluidState(velocity=vel, density=batch["obs"][:, 0, :, :, 0])
+
+    def example_state(self, batch_size: int) -> FluidState:
+        h, w = self.domain.grid_shape
+        return FluidState.zeros(batch_size, h, w)

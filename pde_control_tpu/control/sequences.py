@@ -1,0 +1,128 @@
+"""Execution-sequence builders: chain / staggered / prediction-refinement.
+
+Rebuild of `src/control/sequences.py` [R] (SURVEY.md §2a "Sequence builders",
+§3.2). The reference assembles a static TF1 graph from these recursions; here
+they are ordinary trace-time Python composing jit-traced calls — the tree
+structure is static given n (a power of two), so there are no dynamic shapes.
+
+Three schemes from the paper:
+  * chain      — no OPs; every step is CFE against a given per-step target
+                 (supervised: ground-truth next frames; greedy: the final
+                 target broadcast to all steps).
+  * staggered  — binary-tree OP subdivision precomputes all intermediate
+                 observation targets from predictions only, then the CFE
+                 chain executes left→right against them.
+  * refined    — prediction refinement (paper appendix): midpoint targets
+                 are re-predicted from the *executed* state when the left
+                 half completes, so later predictions see reality.
+
+Memory: the CFE chain scans with `jax.checkpoint` on the body (O(√n)-style
+remat); the refined recursion checkpoints each half (O(log n) depth).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# step_fn(state, target_obs) -> (next_state, force_cost (B,))
+StepFn = Callable
+# op_fn(span, o_start, o_end) -> o_mid
+OpFn = Callable
+
+
+def staggered_targets(
+    op_fn: OpFn, o0: jnp.ndarray, on: jnp.ndarray, n: int
+) -> list[jnp.ndarray]:
+    """Fill all intermediate observation targets by binary subdivision.
+
+    Returns [o_0, ô_1, …, ô_{n-1}, o_n]: endpoints are the given
+    observations; interior frames are OP predictions computed top-down
+    (span n, then n/2, … then 2). n must be a power of two.
+    """
+    if n & (n - 1):
+        raise ValueError(f"n must be a power of two, got {n}")
+    obs: dict[int, jnp.ndarray] = {0: o0, n: on}
+
+    def rec(a: int, b: int):
+        if b - a <= 1:
+            return
+        m = (a + b) // 2
+        obs[m] = op_fn(b - a, obs[a], obs[b])
+        rec(a, m)
+        rec(m, b)
+
+    rec(0, n)
+    return [obs[i] for i in range(n + 1)]
+
+
+def run_chain(
+    step_fn: StepFn,
+    observe: Callable,
+    state0,
+    targets: jnp.ndarray,
+    remat: bool = True,
+):
+    """Execute the CFE chain left→right against per-step targets.
+
+    Args:
+      step_fn: (state, target) → (next_state, force_cost).
+      observe: state → observation.
+      state0: initial full state (pytree).
+      targets: (n, B, *spatial, C) — target observation for steps 1..n,
+        stacked on a leading time axis (scanned over).
+      remat: rematerialize the scan body (needed for long rollouts).
+    Returns: (final_state, obs_traj (n, B, *s, C), force_costs (n, B)).
+    """
+
+    def body(state, tgt):
+        nxt, cost = step_fn(state, tgt)
+        return nxt, (observe(nxt), cost)
+
+    if remat:
+        body = jax.checkpoint(body)
+    final, (obs_traj, costs) = lax.scan(body, state0, targets)
+    return final, obs_traj, costs
+
+
+def run_refined(
+    step_fn: StepFn,
+    op_fn: OpFn,
+    observe: Callable,
+    state0,
+    target: jnp.ndarray,
+    n: int,
+    remat: bool = True,
+):
+    """Prediction-refinement execution (paper appendix scheme).
+
+    Recursively: predict the midpoint of [now, now+n] from the *current*
+    executed observation, execute the left half against it, then recurse on
+    the right half from the actually-reached state.
+
+    Returns: (final_state, obs_traj (n, B, *s, C), force_costs (n, B)).
+    """
+    if n & (n - 1):
+        raise ValueError(f"n must be a power of two, got {n}")
+
+    def rec(state, tgt, span):
+        if span == 1:
+            nxt, cost = step_fn(state, tgt)
+            return nxt, [observe(nxt)], [cost]
+        o_mid = op_fn(span, observe(state), tgt)
+        left = lambda s: rec(s, o_mid, span // 2)
+        right = lambda s: rec(s, tgt, span // 2)
+        if remat:
+            # Checkpoint each half: O(log n) live activations along the
+            # recursion spine, recompute on the backward sweep.
+            left = jax.checkpoint(left)
+            right = jax.checkpoint(right)
+        mid_state, obs_l, cost_l = left(state)
+        end_state, obs_r, cost_r = right(mid_state)
+        return end_state, obs_l + obs_r, cost_l + cost_r
+
+    final, obs_list, cost_list = rec(state0, target, n)
+    return final, jnp.stack(obs_list), jnp.stack(cost_list)

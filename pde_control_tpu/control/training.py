@@ -1,0 +1,313 @@
+"""ControlTraining — the staged training harness (THE entry point).
+
+Rebuild of `src/control/control_training.py :: ControlTraining` +
+`phi/tf/model.py :: LearningApp` [R] (SURVEY.md §2a, §3.2-3.4). The
+reference builds one static TF1 graph of the whole unrolled sequence and
+trains it under a session; here the same composition is a pure
+`loss(params, batch)` traced once by `jax.jit`.
+
+Staging model (matches the reference curriculum, §3.4):
+  * networks are named 'CFE', 'OP2', 'OP4', … 'OPn' (reference naming);
+  * `trainable_networks` masks the optimizer (optax.multi_transform) so a
+    stage updates only its subset while the rest stay frozen;
+  * stages communicate only through per-network checkpoints
+    (utils.checkpoint), like the reference's per-scope tf.train.Saver.
+
+Sequence classes: 'chain' (supervised next-frame targets), 'chain_final'
+(greedy: final target every step), 'staggered', 'refined', and
+'op_supervised' (per-level OP pretraining on dataset triples — no solver).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pde_control_tpu.control.pde_base import PDE
+from pde_control_tpu.control.sequences import (
+    run_chain,
+    run_refined,
+    staggered_targets,
+)
+from pde_control_tpu.parallel.mesh import replicate, shard_batch
+from pde_control_tpu.utils.checkpoint import restore_networks, save_networks
+from pde_control_tpu.utils.logging import MetricsLogger
+
+SEQUENCE_CLASSES = ("chain", "chain_final", "staggered", "refined",
+                    "op_supervised")
+
+
+def _time_major(obs: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, *s, C) → (T, B, *s, C)."""
+    return jnp.moveaxis(obs, 1, 0)
+
+
+class ControlTraining:
+    def __init__(
+        self,
+        n: int,
+        pde: PDE,
+        dataset=None,
+        val_dataset=None,
+        batch_size: int = 16,
+        trainable_networks: Sequence[str] = ("CFE",),
+        sequence_class: str = "staggered",
+        obs_loss_frames: Sequence[int] | None = None,
+        force_reg: float = 1e-2,
+        learning_rate: float = 1e-3,
+        restore: dict[str, str] | str | None = None,
+        seed: int = 0,
+        remat: bool = True,
+        logdir: str | None = None,
+        mesh=None,
+    ):
+        if sequence_class not in SEQUENCE_CLASSES:
+            raise ValueError(f"unknown sequence_class {sequence_class!r}")
+        if n >= 2 and n & (n - 1):
+            raise ValueError(f"n must be a power of two, got {n}")
+        if mesh is not None and batch_size % mesh.devices.size != 0:
+            raise ValueError(
+                f"batch_size={batch_size} must be divisible by the mesh size "
+                f"({mesh.devices.size} devices) for data-parallel sharding")
+        self.n = n
+        self.pde = pde
+        self.dataset = dataset
+        self.val_dataset = val_dataset
+        self.batch_size = batch_size
+        self.sequence_class = sequence_class
+        self.trainable_networks = tuple(trainable_networks)
+        self.obs_loss_frames = tuple(obs_loss_frames) if obs_loss_frames else (n,)
+        self.force_reg = force_reg
+        self.learning_rate = learning_rate
+        self.restore = restore
+        self.seed = seed
+        self.remat = remat
+        self.mesh = mesh
+        self.logger = MetricsLogger(logdir)
+        self._prepared = False
+
+        # Which OP levels exist: spans n, n/2, …, 2.
+        self.op_spans: list[int] = []
+        if sequence_class in ("staggered", "refined", "op_supervised"):
+            span = n
+            while span >= 2:
+                self.op_spans.append(span)
+                span //= 2
+
+    # ------------------------------------------------------------ lifecycle
+
+    def prepare(self) -> "ControlTraining":
+        """Init nets + optimizer; restore checkpoints. (Reference: graph
+        build + Session init + Saver restore, §3.2.)"""
+        pde = self.pde
+        rng = jax.random.PRNGKey(self.seed)
+        self.cfe = pde.build_cfe()
+        self.ops = {span: pde.build_op() for span in self.op_spans}
+
+        ex_state = pde.example_state(1)
+        ex_obs = pde.observe(ex_state)
+        params: dict[str, Any] = {}
+        rng, key = jax.random.split(rng)
+        params["CFE"] = self.cfe.init(key, pde.cfe_inputs(ex_state, ex_obs))[
+            "params"
+        ]
+        for span, op in self.ops.items():
+            rng, key = jax.random.split(rng)
+            params[f"OP{span}"] = op.init(key, pde.op_inputs(ex_obs, ex_obs))[
+                "params"
+            ]
+
+        if isinstance(self.restore, str):
+            # A checkpoint directory: restore every network present in it.
+            params = restore_networks(self.restore, params)
+        elif isinstance(self.restore, dict):
+            # Per-network paths (dir or .msgpack file) — how stages compose.
+            import os
+
+            from pde_control_tpu.utils.checkpoint import load_network
+
+            for name, path in self.restore.items():
+                if os.path.isdir(path):
+                    path = os.path.join(path, f"{name}.msgpack")
+                params[name] = load_network(path, params[name])
+
+        for name in self.trainable_networks:
+            if name not in params:
+                raise ValueError(
+                    f"trainable network {name!r} does not exist; have "
+                    f"{sorted(params)}")
+
+        labels = {
+            name: ("train" if name in self.trainable_networks else "freeze")
+            for name in params
+        }
+        self.optimizer = optax.multi_transform(
+            {"train": optax.adam(self.learning_rate),
+             "freeze": optax.set_to_zero()},
+            labels,
+        )
+        self.params = params
+        self.opt_state = self.optimizer.init(params)
+
+        if self.mesh is not None:
+            self.params = replicate(self.params, self.mesh)
+            self.opt_state = replicate(self.opt_state, self.mesh)
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
+        self._eval = jax.jit(self._loss_fn)
+        self._rollout_jit = jax.jit(self.rollout)
+        self._np_rng = np.random.default_rng(self.seed + 1)
+        self.step_count = 0
+        self._prepared = True
+        return self
+
+    # ----------------------------------------------------------- sequencing
+
+    def _cfe_step(self, params, state, target_obs):
+        x = self.pde.cfe_inputs(state, target_obs)
+        out = self.cfe.apply({"params": params["CFE"]}, x)
+        force = self.pde.force_from_net(out, state)
+        nxt = self.pde.step(state, force)
+        return nxt, self.pde.force_cost(force)
+
+    def _op_fn(self, params):
+        def op(span, o_a, o_b):
+            x = self.pde.op_inputs(o_a, o_b)
+            return self.ops[span].apply({"params": params[f"OP{span}"]}, x)
+
+        return op
+
+    def rollout(self, params, batch):
+        """Run the configured sequence. Returns (obs_traj (n, B, *s, C),
+        force_costs (n, B), final_state)."""
+        gt = _time_major(batch["obs"])  # (n+1, B, *s, C)
+        state0 = self.pde.initial_state(batch)
+        step_fn = lambda s, t: self._cfe_step(params, s, t)
+        observe = self.pde.observe
+
+        if self.sequence_class == "chain":
+            targets = gt[1:]
+        elif self.sequence_class == "chain_final":
+            targets = jnp.broadcast_to(gt[-1][None], (self.n,) + gt[-1].shape)
+        elif self.sequence_class == "staggered":
+            ts = staggered_targets(self._op_fn(params), gt[0], gt[-1], self.n)
+            targets = jnp.stack(ts[1:])
+        elif self.sequence_class == "refined":
+            final, obs_traj, costs = run_refined(
+                step_fn, self._op_fn(params), observe, state0, gt[-1],
+                self.n, self.remat)
+            return obs_traj, costs, final
+        else:
+            raise ValueError(self.sequence_class)
+
+        final, obs_traj, costs = run_chain(
+            step_fn, observe, state0, targets, self.remat)
+        return obs_traj, costs, final
+
+    # ---------------------------------------------------------------- losses
+
+    def _op_supervised_loss(self, params, batch):
+        """Per-level OP pretraining: aligned triples from ground truth
+        (reference stage 3, §3.4)."""
+        gt = _time_major(batch["obs"])
+        op = self._op_fn(params)
+        loss = 0.0
+        metrics = {}
+        trained_spans = [s for s in self.op_spans
+                         if f"OP{s}" in self.trainable_networks]
+        for span in trained_spans or self.op_spans:
+            lvl = 0.0
+            count = 0
+            for a in range(0, self.n - span + 1, span):
+                pred = op(span, gt[a], gt[a + span])
+                lvl = lvl + jnp.mean((pred - gt[a + span // 2]) ** 2)
+                count += 1
+            lvl = lvl / max(count, 1)
+            metrics[f"op{span}_mse"] = lvl
+            loss = loss + lvl
+        return loss, metrics
+
+    def _loss_fn(self, params, batch):
+        if self.sequence_class == "op_supervised":
+            return self._op_supervised_loss(params, batch)
+        gt = _time_major(batch["obs"])
+        obs_traj, costs, _ = self.rollout(params, batch)
+        metrics = {}
+        loss = 0.0
+        for f in self.obs_loss_frames:
+            mse = jnp.mean((obs_traj[f - 1] - gt[f]) ** 2)
+            metrics[f"obs_mse_f{f}"] = mse
+            loss = loss + mse
+        force_total = jnp.mean(jnp.sum(costs, axis=0))
+        metrics["force_cost"] = force_total
+        loss = loss + self.force_reg * force_total
+        metrics["loss"] = loss
+        return loss, metrics
+
+    # ------------------------------------------------------------- training
+
+    def _train_step_impl(self, params, opt_state, batch):
+        (loss, metrics), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True)(params, batch)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["loss"] = loss
+        return params, opt_state, metrics
+
+    def _device_batch(self, batch):
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return batch
+
+    def progress(self, batch=None):
+        """One optimization step (reference: LearningApp.progress, §3.3)."""
+        assert self._prepared, "call prepare() first"
+        if batch is None:
+            batch = self.dataset.sample(self._np_rng, self.batch_size)
+        batch = self._device_batch(batch)
+        self.params, self.opt_state, metrics = self._train_step(
+            self.params, self.opt_state, batch)
+        self.step_count += 1
+        return metrics
+
+    def train(self, iterations: int, log_every: int = 50,
+              val_every: int | None = None) -> dict:
+        """Run the stage; returns the last metrics dict (floats)."""
+        last = {}
+        t0 = time.time()
+        for i in range(iterations):
+            metrics = self.progress()
+            if (i + 1) % log_every == 0 or i == iterations - 1:
+                last = {k: float(v) for k, v in metrics.items()}
+                last["steps_per_sec"] = (i + 1) / (time.time() - t0)
+                self.logger.log(self.step_count, last, prefix="train/")
+            if val_every and (i + 1) % val_every == 0 and self.val_dataset:
+                v = self.evaluate()
+                self.logger.log(self.step_count, v, prefix="val/")
+        return last
+
+    def evaluate(self, batch=None) -> dict:
+        if batch is None:
+            batch = self.val_dataset.sample(self._np_rng, self.batch_size)
+        batch = self._device_batch(batch)
+        _, metrics = self._eval(self.params, batch)
+        return {k: float(v) for k, v in metrics.items()}
+
+    def infer_all_frames(self, batch):
+        """Full-sequence inference (reference: infer_all_frames, §3.5).
+        Returns (obs_traj, force_costs, final_state) as device arrays."""
+        batch = self._device_batch(batch)
+        return self._rollout_jit(self.params, batch)
+
+    def save(self, directory: str) -> None:
+        save_networks(directory, jax.device_get(self.params), {
+            "n": self.n,
+            "sequence_class": self.sequence_class,
+            "trainable": list(self.trainable_networks),
+            "steps": self.step_count,
+        })

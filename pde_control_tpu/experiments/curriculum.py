@@ -1,0 +1,120 @@
+"""The staged training curriculum (SURVEY.md §3.4) as a reusable runner.
+
+Stages, exactly as the reference composes them via per-network checkpoints:
+  1. CFE supervised — chain sequence against ground-truth next frames.
+  2. OPk supervised — per hierarchy level, dataset triples, no solver.
+  3. End-to-end — staggered (or refined) sequence, all networks trainable,
+     restoring stages 1-2; optional staged growth of n.
+  4. Eval — infer_all_frames on validation → final-state MSE + mean force.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+from pde_control_tpu.control.pde_base import PDE
+from pde_control_tpu.control.training import ControlTraining
+
+
+@dataclasses.dataclass
+class CurriculumConfig:
+    n: int
+    batch_size: int = 16
+    cfe_iterations: int = 1000
+    op_iterations: int = 1000
+    e2e_iterations: int = 1000
+    cfe_lr: float = 1e-3
+    op_lr: float = 1e-3
+    e2e_lr: float = 3e-4
+    force_reg: float = 1e-3
+    e2e_sequence: str = "staggered"  # or 'refined'
+    seed: int = 0
+
+
+def op_spans(n: int) -> list[int]:
+    out = []
+    while n >= 2:
+        out.append(n)
+        n //= 2
+    return out
+
+
+def run_curriculum(
+    pde: PDE,
+    cfg: CurriculumConfig,
+    dataset,
+    val_dataset,
+    workdir: str,
+    mesh=None,
+    skip_cfe: bool = False,
+) -> dict:
+    os.makedirs(workdir, exist_ok=True)
+    results: dict = {}
+
+    def stage_dir(name: str) -> str:
+        return os.path.join(workdir, name)
+
+    common = dict(pde=pde, dataset=dataset, val_dataset=val_dataset,
+                  batch_size=cfg.batch_size, mesh=mesh,
+                  force_reg=cfg.force_reg, seed=cfg.seed)
+
+    # ---- stage 1: CFE supervised (chain, all-frames loss) -------------------
+    if not skip_cfe:
+        app = ControlTraining(
+            cfg.n, trainable_networks=("CFE",), sequence_class="chain",
+            obs_loss_frames=tuple(range(1, cfg.n + 1)),
+            learning_rate=cfg.cfe_lr,
+            logdir=stage_dir("logs_cfe"), **common,
+        ).prepare()
+        results["cfe_supervised"] = app.train(cfg.cfe_iterations)
+        app.save(stage_dir("ckpt_cfe"))
+
+    # ---- stage 2: per-level OP supervised -----------------------------------
+    for span in sorted(op_spans(cfg.n)):
+        app = ControlTraining(
+            cfg.n, trainable_networks=(f"OP{span}",),
+            sequence_class="op_supervised", learning_rate=cfg.op_lr,
+            restore=stage_dir("ckpt_ops") if span > 2 and
+            os.path.isdir(stage_dir("ckpt_ops")) else None,
+            logdir=stage_dir(f"logs_op{span}"), **common,
+        ).prepare()
+        results[f"op{span}_supervised"] = app.train(cfg.op_iterations)
+        app.save(stage_dir("ckpt_ops"))
+
+    # ---- stage 3: end-to-end ----------------------------------------------
+    restore = {}
+    if not skip_cfe:
+        restore["CFE"] = stage_dir("ckpt_cfe")
+    for span in op_spans(cfg.n):
+        restore[f"OP{span}"] = stage_dir("ckpt_ops")
+    trainable = ("CFE",) + tuple(f"OP{s}" for s in op_spans(cfg.n))
+    app = ControlTraining(
+        cfg.n, trainable_networks=trainable,
+        sequence_class=cfg.e2e_sequence, obs_loss_frames=(cfg.n,),
+        learning_rate=cfg.e2e_lr, restore=restore,
+        logdir=stage_dir("logs_e2e"), **common,
+    ).prepare()
+    results["end_to_end"] = app.train(cfg.e2e_iterations)
+    app.save(stage_dir("ckpt_final"))
+
+    # ---- stage 4: eval ------------------------------------------------------
+    results["eval"] = evaluate_control(app, val_dataset, cfg.n)
+    with open(os.path.join(workdir, "results.json"), "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    return results
+
+
+def evaluate_control(app: ControlTraining, val_dataset, n: int) -> dict:
+    """Final-state MSE vs ground truth + mean control force (§3.5 metrics)."""
+    rng = np.random.default_rng(1234)
+    batch = val_dataset.sample(rng, min(len(val_dataset), 32))
+    obs_traj, costs, _ = app.infer_all_frames(batch)
+    obs_traj = np.asarray(obs_traj)
+    gt_final = batch["obs"][:, n]
+    final_mse = float(np.mean((obs_traj[n - 1] - gt_final) ** 2))
+    mean_force = float(np.mean(np.sum(np.asarray(costs), axis=0)))
+    return {"final_state_mse": final_mse, "mean_force_cost": mean_force}

@@ -1,0 +1,62 @@
+"""Per-network parameter checkpoints.
+
+Rebuild of the reference's load-bearing staging mechanism (SURVEY.md §3.4):
+per-network `tf.train.Saver` checkpoints under var-scopes 'CFE'/'OPk' [R]
+become per-collection msgpack files + a JSON manifest. Stages communicate
+ONLY through these files, exactly like the reference's curriculum.
+
+Format: <dir>/<NAME>.msgpack (flax serialization of that network's param
+subtree) + <dir>/manifest.json recording names, shapes-hash and metadata.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Any
+
+import flax.serialization
+import jax
+
+
+def _tree_hash(tree: Any) -> str:
+    parts = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        parts.append(f"{jax.tree_util.keystr(path)}:{getattr(leaf, 'shape', ())}")
+    return hashlib.sha1("|".join(sorted(parts)).encode()).hexdigest()[:12]
+
+
+def save_networks(
+    directory: str, params: dict[str, Any], metadata: dict | None = None
+) -> None:
+    """Save each top-level network subtree ('CFE', 'OP2', …) to its own file."""
+    os.makedirs(directory, exist_ok=True)
+    manifest = {"networks": {}, "metadata": metadata or {}}
+    for name, subtree in params.items():
+        path = os.path.join(directory, f"{name}.msgpack")
+        with open(path, "wb") as f:
+            f.write(flax.serialization.to_bytes(subtree))
+        manifest["networks"][name] = {"file": f"{name}.msgpack",
+                                      "tree_hash": _tree_hash(subtree)}
+    with open(os.path.join(directory, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+
+def load_network(path: str, target: Any) -> Any:
+    """Load one network's params. `path` is a .msgpack file or a checkpoint
+    directory (then the target network's name must be the file stem)."""
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(target, f.read())
+
+
+def restore_networks(
+    directory: str, params: dict[str, Any], names: list[str] | None = None
+) -> dict[str, Any]:
+    """Restore selected networks from a checkpoint dir into `params`."""
+    out = dict(params)
+    for name in names if names is not None else list(params):
+        path = os.path.join(directory, f"{name}.msgpack")
+        if os.path.exists(path):
+            out[name] = load_network(path, params[name])
+    return out

@@ -1,21 +1,19 @@
-"""Test config: force an 8-device virtual CPU mesh (SURVEY.md §4 item 5).
+"""Test configuration: 8-device virtual CPU mesh (SURVEY.md §4 item 5).
 
-Must run before any jax import — pytest loads conftest first. Tests exercise
-the same code paths as TPU (jit/pallas-interpret/sharding); the driver's
-bench runs on the real chip.
+The axon sitecustomize imports jax at interpreter startup and pins
+`jax_platforms="axon,cpu"`, so env vars set here are too late — but
+`jax.config.update` still works because no backend is initialized yet.
+Running tests on CPU (a) gives 8 devices for sharding tests and (b) avoids
+the axon remote-compile relay, which makes compiles erratically slow.
 """
 
-import os
+import numpy as np
+import pytest
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import jax
 
-import numpy as np  # noqa: E402
-import pytest  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 
 @pytest.fixture

@@ -1,0 +1,136 @@
+"""Control-stack tests: nets, sequences, data, staged training, mesh DP.
+
+Mirrors SURVEY.md §4's plan: integration "smoke" curricula at tiny sizes
+asserting loss decreases, plus multi-device numerical-equality checks.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pde_control_tpu.control.pde_burgers import BurgersPDE
+from pde_control_tpu.control.sequences import staggered_targets
+from pde_control_tpu.control.training import ControlTraining
+from pde_control_tpu.data.generate import generate_burgers_dataset
+from pde_control_tpu.data.scene import SceneDataset, TrajectoryDataset
+from pde_control_tpu.models.nets import CFENet, UNet
+from pde_control_tpu.physics.burgers import BurgersConfig
+from pde_control_tpu.utils.checkpoint import restore_networks, save_networks
+
+CFG = BurgersConfig(n=16, dt=0.5, viscosity=0.05)
+
+
+@pytest.fixture(scope="module")
+def burgers_data():
+    return generate_burgers_dataset(CFG, num=96, n_steps=4, seed=0)
+
+
+def test_net_shapes():
+    x1 = jnp.zeros((2, 16, 3))
+    out = UNet(out_channels=1, levels=2, base_features=4, dim=1).init_with_output(
+        jax.random.PRNGKey(0), x1)[0]
+    assert out.shape == (2, 16, 1)
+    x2 = jnp.zeros((2, 16, 16, 5))
+    out = CFENet(out_channels=2, features=(8, 8), dim=2).init_with_output(
+        jax.random.PRNGKey(0), x2)[0]
+    assert out.shape == (2, 16, 16, 2)
+
+
+def test_staggered_targets_structure():
+    calls = []
+
+    def fake_op(span, a, b):
+        calls.append(span)
+        return (a + b) / 2
+
+    o0 = jnp.zeros((1, 4, 1))
+    on = jnp.ones((1, 4, 1))
+    ts = staggered_targets(fake_op, o0, on, 8)
+    assert len(ts) == 9
+    np.testing.assert_allclose(np.asarray(ts[0]), 0.0)
+    np.testing.assert_allclose(np.asarray(ts[8]), 1.0)
+    # binary subdivision spans: one 8, two 4s, four 2s
+    assert sorted(calls) == [2, 2, 2, 2, 4, 4, 8]
+    # midpoint of linear interp matches
+    np.testing.assert_allclose(np.asarray(ts[4]), 0.5)
+
+
+def test_scene_roundtrip(tmp_path, burgers_data):
+    root = str(tmp_path / "scenes")
+    ds = SceneDataset(root, sim_range=range(4))
+    ds.write_trajectories(burgers_data.obs[:4])
+    loaded = ds.load_trajectories()
+    np.testing.assert_allclose(loaded.obs, burgers_data.obs[:4], atol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    pde = BurgersPDE(CFG)
+    app = ControlTraining(2, pde, sequence_class="staggered").prepare()
+    d = str(tmp_path / "ckpt")
+    app.save(d)
+    zeroed = jax.tree_util.tree_map(jnp.zeros_like, app.params)
+    restored = restore_networks(d, zeroed)
+    for name in app.params:
+        a = jax.tree_util.tree_leaves(app.params[name])
+        b = jax.tree_util.tree_leaves(restored[name])
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_cfe_supervised_chain_loss_decreases(burgers_data):
+    pde = BurgersPDE(CFG)
+    app = ControlTraining(
+        4, pde, dataset=burgers_data, batch_size=16,
+        trainable_networks=("CFE",), sequence_class="chain",
+        obs_loss_frames=(1, 2, 3, 4), force_reg=1e-4,
+        learning_rate=2e-3, seed=0,
+    ).prepare()
+    first = app.progress()
+    loss0 = float(first["loss"])
+    last = app.train(60, log_every=60)
+    assert last["loss"] < 0.6 * loss0, (loss0, last)
+
+
+def test_op_supervised_then_staggered_runs(burgers_data, tmp_path):
+    pde = BurgersPDE(CFG)
+    # Stage: OP supervised (both levels at once for test speed).
+    op_app = ControlTraining(
+        4, pde, dataset=burgers_data, batch_size=16,
+        trainable_networks=("OP2", "OP4"), sequence_class="op_supervised",
+        learning_rate=2e-3,
+    ).prepare()
+    m0 = op_app.progress()
+    last = op_app.train(40, log_every=40)
+    assert last["loss"] < float(m0["loss"])
+    ckpt = str(tmp_path / "ops")
+    op_app.save(ckpt)
+
+    # Stage: end-to-end staggered restoring the OP checkpoints.
+    e2e = ControlTraining(
+        4, pde, dataset=burgers_data, batch_size=8,
+        trainable_networks=("CFE",), sequence_class="staggered",
+        obs_loss_frames=(4,), restore=ckpt, learning_rate=1e-3,
+    ).prepare()
+    # restored OPs must match saved ones
+    for name in ("OP2", "OP4"):
+        for x, y in zip(jax.tree_util.tree_leaves(op_app.params[name]),
+                        jax.tree_util.tree_leaves(e2e.params[name])):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+    metrics = e2e.progress()
+    assert np.isfinite(float(metrics["loss"]))
+    obs_traj, costs, final = e2e.infer_all_frames(
+        burgers_data.sample(np.random.default_rng(0), 4))
+    assert obs_traj.shape[0] == 4 and np.isfinite(np.asarray(obs_traj)).all()
+
+
+def test_refined_sequence_runs(burgers_data):
+    pde = BurgersPDE(CFG)
+    app = ControlTraining(
+        4, pde, dataset=burgers_data, batch_size=4,
+        trainable_networks=("CFE", "OP2", "OP4"), sequence_class="refined",
+        obs_loss_frames=(4,),
+    ).prepare()
+    m = app.progress()
+    assert np.isfinite(float(m["loss"]))
