@@ -66,6 +66,9 @@ def cpu_baseline() -> float:
         with open(BASELINE_CACHE) as f:
             return json.load(f)["steps_per_sec"]
     env = dict(os.environ)
+    # Strip the axon TPU session vars: sitecustomize would otherwise pin the
+    # platform before JAX_PLATFORMS applies (it runs at interpreter start).
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--measure-only"],

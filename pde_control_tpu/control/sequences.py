@@ -65,6 +65,7 @@ def run_chain(
     state0,
     targets: jnp.ndarray,
     remat: bool = True,
+    keep_states: bool = False,
 ):
     """Execute the CFE chain left→right against per-step targets.
 
@@ -75,16 +76,25 @@ def run_chain(
       targets: (n, B, *spatial, C) — target observation for steps 1..n,
         stacked on a leading time axis (scanned over).
       remat: rematerialize the scan body (needed for long rollouts).
-    Returns: (final_state, obs_traj (n, B, *s, C), force_costs (n, B)).
+      keep_states: also stack the full state trajectory (inference — the
+        reference's infer_all_frames returns every frame's fields [R]).
+    Returns: (final_state, obs_traj (n, B, *s, C), force_costs (n, B))
+    or, with keep_states, (..., states) where states has a leading time
+    axis on every leaf.
     """
 
     def body(state, tgt):
         nxt, cost = step_fn(state, tgt)
-        return nxt, (observe(nxt), cost)
+        out = (observe(nxt), cost, nxt) if keep_states else (observe(nxt), cost)
+        return nxt, out
 
     if remat:
         body = jax.checkpoint(body)
-    final, (obs_traj, costs) = lax.scan(body, state0, targets)
+    final, ys = lax.scan(body, state0, targets)
+    if keep_states:
+        obs_traj, costs, states = ys
+        return final, obs_traj, costs, states
+    obs_traj, costs = ys
     return final, obs_traj, costs
 
 

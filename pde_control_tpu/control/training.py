@@ -182,10 +182,12 @@ class ControlTraining:
 
         return op
 
-    def rollout(self, params, batch):
+    def rollout(self, params, batch, keep_states: bool = False):
         """Run the configured sequence. Returns (obs_traj (n, B, *s, C),
-        force_costs (n, B), final_state)."""
-        gt = _time_major(batch["obs"])  # (n+1, B, *s, C)
+        force_costs (n, B), final_state); with keep_states (inference),
+        returns (obs_traj, costs, final_state, states) where `states`
+        stacks every frame's full state (reference: infer_all_frames [R])."""
+        gt = _time_major(batch["obs"])[: self.n + 1]  # (n+1, B, *s, C)
         state0 = self.pde.initial_state(batch)
         step_fn = lambda s, t: self._cfe_step(params, s, t)
         observe = self.pde.observe
@@ -198,6 +200,9 @@ class ControlTraining:
             ts = staggered_targets(self._op_fn(params), gt[0], gt[-1], self.n)
             targets = jnp.stack(ts[1:])
         elif self.sequence_class == "refined":
+            if keep_states:
+                raise NotImplementedError(
+                    "keep_states is unsupported for the refined sequence")
             final, obs_traj, costs = run_refined(
                 step_fn, self._op_fn(params), observe, state0, gt[-1],
                 self.n, self.remat)
@@ -205,6 +210,11 @@ class ControlTraining:
         else:
             raise ValueError(self.sequence_class)
 
+        if keep_states:
+            final, obs_traj, costs, states = run_chain(
+                step_fn, observe, state0, targets, self.remat,
+                keep_states=True)
+            return obs_traj, costs, final, states
         final, obs_traj, costs = run_chain(
             step_fn, observe, state0, targets, self.remat)
         return obs_traj, costs, final
@@ -298,10 +308,15 @@ class ControlTraining:
         _, metrics = self._eval(self.params, batch)
         return {k: float(v) for k, v in metrics.items()}
 
-    def infer_all_frames(self, batch):
+    def infer_all_frames(self, batch, keep_states: bool = False):
         """Full-sequence inference (reference: infer_all_frames, §3.5).
-        Returns (obs_traj, force_costs, final_state) as device arrays."""
+        Returns (obs_traj, force_costs, final_state[, states])."""
         batch = self._device_batch(batch)
+        if keep_states:
+            if not hasattr(self, "_rollout_states_jit"):
+                self._rollout_states_jit = jax.jit(
+                    lambda p, b: self.rollout(p, b, keep_states=True))
+            return self._rollout_states_jit(self.params, batch)
         return self._rollout_jit(self.params, batch)
 
     def save(self, directory: str) -> None:

@@ -21,6 +21,7 @@ import numpy as np
 
 _SCENE_FMT = "sim_{:06d}"
 _FRAME_FMT = "{}_{:06d}.npz"
+_FRAME_FMT_NPY = "{}_{:06d}.npy"
 
 
 class Scene:
@@ -39,23 +40,37 @@ class Scene:
     def at(cls, root: str, index: int) -> "Scene":
         return cls(os.path.join(root, _SCENE_FMT.format(index)))
 
-    def write_frame(self, fields: dict[str, np.ndarray], frame: int) -> None:
+    def frame_path(self, name: str, frame: int, fmt: str = "npz") -> str:
+        pattern = _FRAME_FMT if fmt == "npz" else _FRAME_FMT_NPY
+        return os.path.join(self.path, pattern.format(name, frame))
+
+    def write_frame(self, fields: dict[str, np.ndarray], frame: int,
+                    fmt: str = "npz") -> None:
+        """fmt='npz' (compressed, reference-compatible layout) or 'npy'
+        (raw float32 — readable by the native C++ batch loader)."""
         for name, arr in fields.items():
-            np.savez_compressed(
-                os.path.join(self.path, _FRAME_FMT.format(name, frame)),
-                data=np.asarray(arr),
-            )
+            if fmt == "npz":
+                np.savez_compressed(self.frame_path(name, frame),
+                                    data=np.asarray(arr))
+            else:
+                np.save(self.frame_path(name, frame, "npy"),
+                        np.asarray(arr, np.float32))
 
     def read_frame(self, names: Sequence[str], frame: int) -> dict[str, np.ndarray]:
         out = {}
         for name in names:
-            with np.load(os.path.join(self.path, _FRAME_FMT.format(name, frame))) as z:
-                out[name] = z["data"]
+            npz = self.frame_path(name, frame)
+            if os.path.exists(npz):
+                with np.load(npz) as z:
+                    out[name] = z["data"]
+            else:
+                out[name] = np.load(self.frame_path(name, frame, "npy"))
         return out
 
     def frame_count(self, name: str) -> int:
         n = 0
-        while os.path.exists(os.path.join(self.path, _FRAME_FMT.format(name, n))):
+        while (os.path.exists(self.frame_path(name, n))
+               or os.path.exists(self.frame_path(name, n, "npy"))):
             n += 1
         return n
 
@@ -106,20 +121,35 @@ class SceneDataset:
         self.sim_range = sim_range
 
     def load_trajectories(self, frames: int | None = None) -> TrajectoryDataset:
+        """Load all scenes into memory. .npy scene files go through the
+        multithreaded native C++ gather (data/native_loader.py) when it is
+        available; .npz (and fallback) use NumPy."""
+        sims = list(self.sim_range)
+        first = Scene.at(self.root, sims[0])
+        t = first.frame_count(self.field) if frames is None else frames
+        npy0 = first.frame_path(self.field, 0, "npy")
+        if os.path.exists(npy0):
+            from pde_control_tpu.data.native_loader import gather_frames
+
+            frame_shape = np.load(npy0, mmap_mode="r").shape
+            paths = [Scene.at(self.root, i).frame_path(self.field, f, "npy")
+                     for i in sims for f in range(t)]
+            flat = gather_frames(paths, tuple(frame_shape))
+            return TrajectoryDataset(
+                flat.reshape((len(sims), t) + tuple(frame_shape)))
         trajs = []
-        for i in self.sim_range:
+        for i in sims:
             scene = Scene.at(self.root, i)
-            t = scene.frame_count(self.field) if frames is None else frames
             arr = np.stack(
                 [scene.read_frame([self.field], f)[self.field] for f in range(t)]
             )
             trajs.append(arr)
         return TrajectoryDataset(np.stack(trajs))
 
-    def write_trajectories(self, obs: np.ndarray) -> None:
+    def write_trajectories(self, obs: np.ndarray, fmt: str = "npz") -> None:
         """obs: (num, T, *spatial, C) — write each trajectory as a scene."""
         for i, traj in enumerate(obs):
             scene = Scene.create(self.root, self.sim_range[i]
                                  if i < len(self.sim_range) else i)
             for f, frame in enumerate(traj):
-                scene.write_frame({self.field: frame}, f)
+                scene.write_frame({self.field: frame}, f, fmt=fmt)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import flax.struct
 import jax.numpy as jnp
+import numpy as np
 
 from pde_control_tpu.ops.interp import bilinear_sample_2d
 
@@ -118,6 +119,9 @@ class Domain2D:
     acc_x: jnp.ndarray
     dx: float = flax.struct.field(pytree_node=False, default=1.0)
     closed: bool = flax.struct.field(pytree_node=False, default=True)
+    # Static structure flag (set by create()): lets the pressure solver pick
+    # the exact spectral path / spectral preconditioner at trace time.
+    has_obstacles: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def grid_shape(self) -> tuple[int, int]:
@@ -150,7 +154,11 @@ class Domain2D:
         acc_x = jnp.concatenate(
             [wall * fluid[:, :1], acc_x_int, wall * fluid[:, -1:]], axis=1
         )
-        return cls(fluid_mask=fluid, acc_y=acc_y, acc_x=acc_x, dx=dx, closed=closed)
+        has_obstacles = obstacle_mask is not None and bool(
+            np.any(np.asarray(obstacle_mask) > 0)
+        )
+        return cls(fluid_mask=fluid, acc_y=acc_y, acc_x=acc_x, dx=dx,
+                   closed=closed, has_obstacles=has_obstacles)
 
     def mask_velocity(self, v: Staggered2D) -> Staggered2D:
         """Zero velocity on blocked faces (walls + obstacle faces)."""

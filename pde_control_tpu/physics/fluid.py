@@ -47,6 +47,7 @@ class FluidConfig:
     max_shift: int = 2             # CFL bound for shift advection
     pressure_tol: float = 1e-5
     pressure_maxiter: int = 500
+    pressure_backend: str = "auto"  # 'auto' | 'jax' | 'pallas'
 
 
 def divergence_free(
@@ -59,7 +60,9 @@ def divergence_free(
     """
     v = domain.mask_velocity(v)
     div = v.divergence(domain.dx)
-    p = solve_pressure(div, domain, tol=cfg.pressure_tol, maxiter=cfg.pressure_maxiter)
+    p = solve_pressure(div, domain, tol=cfg.pressure_tol,
+                       maxiter=cfg.pressure_maxiter,
+                       backend=cfg.pressure_backend)
     v = v - domain.pressure_gradient(p)
     return v, p
 

@@ -40,8 +40,12 @@ def _spatial_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(a * b, axis=tuple(range(1, a.ndim)), keepdims=True)
 
 
-def cg(matvec, b: jnp.ndarray, tol: float, maxiter: int, x0=None) -> jnp.ndarray:
-    """Batched conjugate gradients on an SPD (possibly singular) matvec.
+def cg(matvec, b: jnp.ndarray, tol: float, maxiter: int, x0=None,
+       precond=None) -> jnp.ndarray:
+    """Batched (preconditioned) conjugate gradients on an SPD matvec.
+
+    `precond`, when given, applies M⁻¹ (must be SPD) — e.g. the spectral
+    Neumann inverse, which cuts iteration counts ~10× on obstacle domains.
 
     Each batch element runs its own CG (per-element α/β via spatial dots).
     Per-element safeguards make this robust in fp32 (verified empirically:
@@ -51,9 +55,12 @@ def cg(matvec, b: jnp.ndarray, tol: float, maxiter: int, x0=None) -> jnp.ndarray
       * an element freezes if its residual grows ≥4× above the best seen
         (fp32 breakdown on singular systems); the best iterate is returned.
     """
+    apply_m = precond if precond is not None else (lambda r: r)
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - matvec(x)
-    d = r
+    z = apply_m(r)
+    d = z
+    rz = _spatial_dot(r, z)
     rs = _spatial_dot(r, r)
     b2 = jnp.maximum(_spatial_dot(b, b), 1e-30)
     tol2 = tol * tol
@@ -62,29 +69,55 @@ def cg(matvec, b: jnp.ndarray, tol: float, maxiter: int, x0=None) -> jnp.ndarray
         return jnp.logical_and(rs_i / b2 > tol2, rs_i < 4.0 * rs_best)
 
     def cond(state):
-        _, _, _, rs_i, _, rs_best, k = state
+        _, _, _, _, rs_i, _, rs_best, k = state
         return jnp.logical_and(k < maxiter, jnp.any(active(rs_i, rs_best)))
 
     def body(state):
-        x, r, d, rs_i, x_best, rs_best, k = state
+        x, r, d, rz_i, rs_i, x_best, rs_best, k = state
         act = active(rs_i, rs_best)
         ad = matvec(d)
         dad = _spatial_dot(d, ad)
         ok = jnp.logical_and(act, dad > 0)
-        alpha = jnp.where(ok, rs_i / jnp.where(dad > 0, dad, 1.0), 0.0)
+        alpha = jnp.where(ok, rz_i / jnp.where(dad > 0, dad, 1.0), 0.0)
         x = x + alpha * d
         r = r - alpha * ad
+        z = apply_m(r)
+        rz_new = _spatial_dot(r, z)
         rs_new = _spatial_dot(r, r)
-        beta = jnp.where(ok, rs_new / jnp.where(rs_i > 0, rs_i, 1.0), 0.0)
-        d = r + beta * d
+        beta = jnp.where(ok, rz_new / jnp.where(rz_i != 0, rz_i, 1.0), 0.0)
+        d = z + beta * d
         better = rs_new < rs_best
         x_best = jnp.where(better, x, x_best)
         rs_best = jnp.minimum(rs_new, rs_best)
-        return x, r, d, rs_new, x_best, rs_best, k + 1
+        return x, r, d, rz_new, rs_new, x_best, rs_best, k + 1
 
-    state = (x, r, d, rs, x, rs, jnp.int32(0))
-    _, _, _, _, x_best, _, _ = lax.while_loop(cond, body, state)
+    state = (x, r, d, rz, rs, x, rs, jnp.int32(0))
+    _, _, _, _, _, x_best, _, _ = lax.while_loop(cond, body, state)
     return x_best
+
+
+def _pick_backend(backend: str, div: jnp.ndarray, domain: Domain2D) -> str:
+    """Resolve 'auto' to a concrete solver path at trace time.
+
+    Priority on closed 2D domains: exact spectral solve (no obstacles) >
+    spectral-preconditioned CG (obstacles). Open domains use the fused
+    Pallas CG on TPU (when it fits VMEM) or the pure-JAX CG.
+    """
+    from pde_control_tpu.ops.pallas_cg import pallas_solve_fits
+
+    if backend != "auto":
+        if backend == "pallas" and not pallas_solve_fits(*div.shape):
+            raise ValueError(f"grid {div.shape} exceeds the Pallas VMEM budget")
+        if backend == "spectral" and not (domain.closed and
+                                          not domain.has_obstacles):
+            raise ValueError("'spectral' is exact only for closed domains "
+                             "without obstacles; use 'pcg'")
+        return backend
+    if domain.closed and div.ndim == 3:
+        return "spectral" if not domain.has_obstacles else "pcg"
+    if pallas_solve_fits(*div.shape) and jax.default_backend() == "tpu":
+        return "pallas"
+    return "jax"
 
 
 def solve_pressure(
@@ -92,15 +125,23 @@ def solve_pressure(
     domain: Domain2D,
     tol: float = 1e-5,
     maxiter: int = 500,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """Solve div(acc·grad p) = div_v for p. div: (B, H, W) → p: (B, H, W).
 
     Differentiable via implicit differentiation (`custom_linear_solve`,
     symmetric): the VJP solves the same SPD system once with the cotangent
     as rhs. Domain masks are treated as non-differentiable geometry.
+
+    backend: 'auto' picks, on closed 2D domains, the exact spectral (DCT)
+    solve when there are no obstacles, or spectral-preconditioned CG when
+    there are; open domains get the fused Pallas CG on TPU / pure-JAX CG.
+    Explicit values: 'jax', 'pallas', 'spectral', 'pcg'.
     """
     fluid = lax.stop_gradient(domain.fluid_mask)
     geom = jax.tree_util.tree_map(lax.stop_gradient, domain)
+    chosen = _pick_backend(backend, div, domain)
+    interpret = jax.default_backend() != "tpu"
 
     b = jnp.where(fluid > 0, -div, 0.0)
     if domain.closed:
@@ -119,12 +160,38 @@ def solve_pressure(
         def matvec(p):
             return project(masked_laplace_spd(project(p), geom))
 
-        def solve(mv, rhs):
-            # Project the rhs INSIDE the solve: the backward pass feeds the
-            # loss cotangent through this same function, and that cotangent
-            # generally has a nullspace component — without projection CG's
-            # first step explodes and the pseudo-inverse VJP is lost.
-            return cg(mv, project(rhs), tol=tol, maxiter=maxiter)
+        if chosen == "spectral":
+            from pde_control_tpu.ops.spectral import spectral_neumann_solve
+
+            def solve(mv, rhs):
+                # Exact: the closed no-obstacle operator is diagonal in the
+                # DCT-II basis. Projection inside the solve — the backward
+                # cotangent carries a nullspace component (see below).
+                return project(
+                    spectral_neumann_solve(project(rhs), dx=domain.dx))
+
+        elif chosen == "pcg":
+            from pde_control_tpu.ops.spectral import spectral_neumann_solve
+
+            def precond(r):
+                # Deflated spectral preconditioner: P ∘ M⁻¹ ∘ P keeps PCG in
+                # the compatible subspace and stays SPD there.
+                return project(spectral_neumann_solve(project(r),
+                                                      dx=domain.dx))
+
+            def solve(mv, rhs):
+                return cg(mv, project(rhs), tol=tol, maxiter=maxiter,
+                          precond=precond)
+
+        else:
+
+            def solve(mv, rhs):
+                # Project the rhs INSIDE the solve: the backward pass feeds
+                # the loss cotangent through this same function, and that
+                # cotangent generally has a nullspace component — without
+                # projection CG's first step explodes and the pseudo-inverse
+                # VJP is lost.
+                return cg(mv, project(rhs), tol=tol, maxiter=maxiter)
 
     else:
 
@@ -133,5 +200,18 @@ def solve_pressure(
 
         def solve(mv, rhs):
             return cg(mv, rhs, tol=tol, maxiter=maxiter)
+
+    if chosen == "pallas":
+        from pde_control_tpu.ops.pallas_cg import pallas_pressure_solve
+
+        def solve(_mv, rhs):  # noqa: F811 — deliberate override
+            # The kernel rebuilds b = project(mask(-div)); feeding -rhs makes
+            # its b equal rhs (masking/projection are idempotent, and the
+            # backward cotangent needs the projection anyway).
+            return pallas_pressure_solve(
+                -rhs, geom.acc_y, geom.acc_x, fluid,
+                dx=domain.dx, closed=domain.closed, tol=tol, maxiter=maxiter,
+                interpret=interpret,
+            )
 
     return lax.custom_linear_solve(matvec, b, solve=solve, symmetric=True)

@@ -1,0 +1,72 @@
+"""Field visualization: PNG dumps + TensorBoard images.
+
+Rebuild decision (SURVEY.md §3.5, §5): the reference's live Dash/Plotly web
+GUI (`phi/viz/dash/` [R]) is replaced by matplotlib field renders saved to
+disk and optionally streamed to TensorBoard — the right tool for headless
+TPU training jobs (the web GUI is an explicit non-goal, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def save_field_png(field: np.ndarray, path: str, title: str | None = None,
+                   cmap: str = "viridis") -> None:
+    """Render a 2D field (H, W) or a 1D field (N,) to a PNG."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    field = np.asarray(field)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig, ax = plt.subplots(figsize=(4, 4) if field.ndim == 2 else (6, 3))
+    if field.ndim == 1:
+        ax.plot(field)
+        ax.grid(True, alpha=0.3)
+    else:
+        im = ax.imshow(field, origin="lower", cmap=cmap)
+        fig.colorbar(im, ax=ax, fraction=0.046)
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
+def save_trajectory_strip(frames: np.ndarray, path: str, every: int = 1,
+                          cmap: str = "viridis") -> None:
+    """Render a (T, H, W) trajectory as a horizontal strip of frames."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    frames = np.asarray(frames)[::every]
+    t = len(frames)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig, axes = plt.subplots(1, t, figsize=(2 * t, 2.2))
+    if t == 1:
+        axes = [axes]
+    vmin, vmax = float(frames.min()), float(frames.max())
+    for i, (ax, fr) in enumerate(zip(axes, frames)):
+        ax.imshow(fr, origin="lower", cmap=cmap, vmin=vmin, vmax=vmax)
+        ax.set_title(f"t={i * every}", fontsize=8)
+        ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
+def tb_image(logger, tag: str, field: np.ndarray, step: int) -> None:
+    """Log a 2D field image to the MetricsLogger's TensorBoard writer."""
+    tb = getattr(logger, "_tb", None)
+    if tb is None:
+        return
+    f = np.asarray(field, np.float32)
+    lo, hi = float(f.min()), float(f.max())
+    norm = (f - lo) / (hi - lo + 1e-12)
+    tb.add_image(tag, norm[None], step)  # (1, H, W) grayscale

@@ -134,3 +134,18 @@ def test_refined_sequence_runs(burgers_data):
     ).prepare()
     m = app.progress()
     assert np.isfinite(float(m["loss"]))
+
+
+def test_infer_keep_states(burgers_data):
+    pde = BurgersPDE(CFG)
+    app = ControlTraining(
+        2, pde, dataset=burgers_data, batch_size=4,
+        trainable_networks=("CFE",), sequence_class="chain",
+        obs_loss_frames=(1, 2),
+    ).prepare()
+    batch = burgers_data.sample(np.random.default_rng(0), 4)
+    obs_traj, costs, final, states = app.infer_all_frames(batch,
+                                                          keep_states=True)
+    assert states.shape == (2, 4, 16)  # (T, B, N) full Burgers states
+    np.testing.assert_allclose(np.asarray(states[-1]), np.asarray(final),
+                               atol=1e-6)
