@@ -319,6 +319,25 @@ class ControlTraining:
             return self._rollout_states_jit(self.params, batch)
         return self._rollout_jit(self.params, batch)
 
+    def save_state(self, directory: str) -> None:
+        """Full resume checkpoint: params + optimizer state + step counter."""
+        from pde_control_tpu.utils.checkpoint import save_training_state
+
+        save_training_state(directory, jax.device_get(self.params),
+                            jax.device_get(self.opt_state), self.step_count,
+                            {"sequence_class": self.sequence_class})
+
+    def restore_state(self, directory: str) -> None:
+        """Resume from save_state (same config/trainable set required)."""
+        from pde_control_tpu.utils.checkpoint import load_training_state
+
+        self.params, self.opt_state, self.step_count = load_training_state(
+            directory, jax.device_get(self.params),
+            jax.device_get(self.opt_state))
+        if self.mesh is not None:
+            self.params = replicate(self.params, self.mesh)
+            self.opt_state = replicate(self.opt_state, self.mesh)
+
     def save(self, directory: str) -> None:
         save_networks(directory, jax.device_get(self.params), {
             "n": self.n,

@@ -32,6 +32,9 @@ class CurriculumConfig:
     e2e_lr: float = 3e-4
     force_reg: float = 1e-3
     e2e_sequence: str = "staggered"  # or 'refined'
+    # Staged horizon growth for stage 3 (reference §3.4: "optionally staged
+    # n: 8→16→…→n"); None = train at full n directly.
+    e2e_stage_ns: tuple | None = None
     seed: int = 0
 
 
@@ -85,20 +88,35 @@ def run_curriculum(
         results[f"op{span}_supervised"] = app.train(cfg.op_iterations)
         app.save(stage_dir("ckpt_ops"))
 
-    # ---- stage 3: end-to-end ----------------------------------------------
-    restore = {}
-    if not skip_cfe:
-        restore["CFE"] = stage_dir("ckpt_cfe")
-    for span in op_spans(cfg.n):
-        restore[f"OP{span}"] = stage_dir("ckpt_ops")
-    trainable = ("CFE",) + tuple(f"OP{s}" for s in op_spans(cfg.n))
-    app = ControlTraining(
-        cfg.n, trainable_networks=trainable,
-        sequence_class=cfg.e2e_sequence, obs_loss_frames=(cfg.n,),
-        learning_rate=cfg.e2e_lr, restore=restore,
-        logdir=stage_dir("logs_e2e"), **common,
-    ).prepare()
-    results["end_to_end"] = app.train(cfg.e2e_iterations)
+    # ---- stage 3: end-to-end (optionally staged horizon growth) -----------
+    stage_ns = tuple(cfg.e2e_stage_ns) if cfg.e2e_stage_ns else (cfg.n,)
+    prev_ckpt = None
+    for n_k in stage_ns:
+        # Each network restores from the newest checkpoint that has it:
+        # the previous horizon's refined nets when available, else the
+        # supervised stage-1/2 checkpoints (a larger n_k introduces a new
+        # top-level OP{n_k} that only exists in ckpt_ops).
+        restore = {}
+        if not skip_cfe or prev_ckpt:
+            restore["CFE"] = prev_ckpt or stage_dir("ckpt_cfe")
+        for span in op_spans(n_k):
+            name = f"OP{span}"
+            if prev_ckpt and os.path.exists(
+                    os.path.join(prev_ckpt, f"{name}.msgpack")):
+                restore[name] = prev_ckpt
+            else:
+                restore[name] = stage_dir("ckpt_ops")
+        trainable = ("CFE",) + tuple(f"OP{s}" for s in op_spans(n_k))
+        app = ControlTraining(
+            n_k, trainable_networks=trainable,
+            sequence_class=cfg.e2e_sequence, obs_loss_frames=(n_k,),
+            learning_rate=cfg.e2e_lr, restore=restore,
+            logdir=stage_dir(f"logs_e2e_n{n_k}"), **common,
+        ).prepare()
+        results[f"end_to_end_n{n_k}"] = app.train(cfg.e2e_iterations)
+        prev_ckpt = stage_dir(f"ckpt_e2e_n{n_k}")
+        app.save(prev_ckpt)
+    results["end_to_end"] = results[f"end_to_end_n{stage_ns[-1]}"]
     app.save(stage_dir("ckpt_final"))
 
     # ---- stage 4: eval ------------------------------------------------------

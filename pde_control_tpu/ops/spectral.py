@@ -79,3 +79,39 @@ def spectral_neumann_solve(b: jnp.ndarray, dx: float = 1.0) -> jnp.ndarray:
     h, w = b.shape[-2], b.shape[-1]
     inv_lam = jnp.asarray(_inv_neumann_eigenvalues(h, w, dx))
     return idct2_2d(dct2_2d(b) * inv_lam)
+
+
+@functools.lru_cache(maxsize=32)
+def _dst_matrix(n: int) -> np.ndarray:
+    """Orthonormal DST-I basis: Q[k,i] = √(2/(N+1))·sin(π(k+1)(i+1)/(N+1)).
+    Symmetric and involutory (Q = Qᵀ = Q⁻¹)."""
+    k = np.arange(1, n + 1)[:, None]
+    i = np.arange(1, n + 1)[None, :]
+    q = np.sqrt(2.0 / (n + 1)) * np.sin(np.pi * k * i / (n + 1))
+    return q.astype(np.float32)
+
+
+def dst1_2d(x: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormal 2D DST-I over the last two axes (involutory)."""
+    qh = jnp.asarray(_dst_matrix(x.shape[-2]))
+    qw = jnp.asarray(_dst_matrix(x.shape[-1]))
+    return jnp.einsum("kh,bhw,lw->bkl", qh, x, qw, precision=_PRECISION,
+                      preferred_element_type=jnp.float32)
+
+
+@functools.lru_cache(maxsize=32)
+def _inv_dirichlet_eigenvalues(h: int, w: int, dx: float) -> np.ndarray:
+    """1/eigenvalues of A = −∇²_dirichlet/dx² (zero ghost cells) in the
+    DST-I basis — nonsingular, so a true inverse."""
+    ky = 2.0 - 2.0 * np.cos(np.pi * np.arange(1, h + 1) / (h + 1))
+    kx = 2.0 - 2.0 * np.cos(np.pi * np.arange(1, w + 1) / (w + 1))
+    lam = (ky[:, None] + kx[None, :]) / (dx * dx)
+    return (1.0 / lam).astype(np.float32)
+
+
+def spectral_dirichlet_solve(b: jnp.ndarray, dx: float = 1.0) -> jnp.ndarray:
+    """Exact solve of A p = b, A = −∇² with Dirichlet (open-wall, ghost
+    p = 0) BC — the open-domain pressure operator. b: (B, H, W)."""
+    h, w = b.shape[-2], b.shape[-1]
+    inv_lam = jnp.asarray(_inv_dirichlet_eigenvalues(h, w, dx))
+    return dst1_2d(dst1_2d(b) * inv_lam)

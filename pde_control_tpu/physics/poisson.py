@@ -108,14 +108,21 @@ def _pick_backend(backend: str, div: jnp.ndarray, domain: Domain2D) -> str:
     if backend != "auto":
         if backend == "pallas" and not pallas_solve_fits(*div.shape):
             raise ValueError(f"grid {div.shape} exceeds the Pallas VMEM budget")
-        if backend == "spectral" and not (domain.closed and
-                                          not domain.has_obstacles):
-            raise ValueError("'spectral' is exact only for closed domains "
-                             "without obstacles; use 'pcg'")
+        if backend == "spectral" and domain.has_obstacles:
+            raise ValueError("'spectral' is exact only for domains without "
+                             "obstacles; use 'pcg'")
         return backend
+    on_tpu = jax.default_backend() == "tpu"
+    fits = pallas_solve_fits(*div.shape)
     if domain.closed and div.ndim == 3:
-        return "spectral" if not domain.has_obstacles else "pcg"
-    if pallas_solve_fits(*div.shape) and jax.default_backend() == "tpu":
+        if not domain.has_obstacles:
+            return "spectral"
+        # Obstacles: measured at 64²×8 on v5e — fused Pallas CG 3.2ms,
+        # spectral-PCG 4.7ms, XLA while_loop CG 103ms at equal accuracy.
+        return "pallas" if (on_tpu and fits) else "pcg"
+    if div.ndim == 3 and not domain.has_obstacles:
+        return "spectral"  # open domain: exact DST-I (Dirichlet) solve
+    if on_tpu and fits:
         return "pallas"
     return "jax"
 
@@ -198,8 +205,26 @@ def solve_pressure(
         def matvec(p):
             return masked_laplace_spd(p, geom)
 
-        def solve(mv, rhs):
-            return cg(mv, rhs, tol=tol, maxiter=maxiter)
+        if chosen == "spectral":
+            from pde_control_tpu.ops.spectral import spectral_dirichlet_solve
+
+            def solve(mv, rhs):
+                # Exact: the open no-obstacle operator is diagonal in the
+                # DST-I basis (nonsingular — no projection needed).
+                return spectral_dirichlet_solve(rhs, dx=domain.dx)
+
+        elif chosen == "pcg":
+            from pde_control_tpu.ops.spectral import spectral_dirichlet_solve
+
+            def solve(mv, rhs):
+                return cg(mv, rhs, tol=tol, maxiter=maxiter,
+                          precond=lambda r: spectral_dirichlet_solve(
+                              r, dx=domain.dx))
+
+        else:
+
+            def solve(mv, rhs):
+                return cg(mv, rhs, tol=tol, maxiter=maxiter)
 
     if chosen == "pallas":
         from pde_control_tpu.ops.pallas_cg import pallas_pressure_solve

@@ -60,3 +60,30 @@ def restore_networks(
         if os.path.exists(path):
             out[name] = load_network(path, params[name])
     return out
+
+
+def save_training_state(directory: str, params: Any, opt_state: Any,
+                        step: int, extra: dict | None = None) -> None:
+    """Full resume checkpoint (params + optimizer state + step counter).
+
+    The reference has no crash-resume story (SURVEY.md §5 'Failure
+    detection': rerun the notebook); this is the rebuild's rerun-resume.
+    """
+    os.makedirs(directory, exist_ok=True)
+    save_networks(os.path.join(directory, "networks"), params,
+                  {"step": step, **(extra or {})})
+    with open(os.path.join(directory, "opt_state.msgpack"), "wb") as f:
+        f.write(flax.serialization.to_bytes(opt_state))
+    with open(os.path.join(directory, "state.json"), "w") as f:
+        json.dump({"step": step, **(extra or {})}, f)
+
+
+def load_training_state(directory: str, params: Any, opt_state: Any):
+    """Restore (params, opt_state, step) saved by save_training_state.
+    `params`/`opt_state` are templates with the target structure."""
+    params = restore_networks(os.path.join(directory, "networks"), params)
+    with open(os.path.join(directory, "opt_state.msgpack"), "rb") as f:
+        opt_state = flax.serialization.from_bytes(opt_state, f.read())
+    with open(os.path.join(directory, "state.json")) as f:
+        step = json.load(f)["step"]
+    return params, opt_state, step

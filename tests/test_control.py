@@ -149,3 +149,28 @@ def test_infer_keep_states(burgers_data):
     assert states.shape == (2, 4, 16)  # (T, B, N) full Burgers states
     np.testing.assert_allclose(np.asarray(states[-1]), np.asarray(final),
                                atol=1e-6)
+
+
+def test_training_state_resume(burgers_data, tmp_path):
+    pde = BurgersPDE(CFG)
+
+    def make():
+        return ControlTraining(
+            2, pde, dataset=burgers_data, batch_size=4,
+            trainable_networks=("CFE",), sequence_class="chain",
+            obs_loss_frames=(1, 2), seed=7,
+        ).prepare()
+
+    app = make()
+    app.train(5, log_every=5)
+    d = str(tmp_path / "resume")
+    app.save_state(d)
+    batch = burgers_data.sample(np.random.default_rng(3), 4)
+    ref_metrics = app.progress(batch)
+
+    app2 = make()
+    app2.restore_state(d)
+    assert app2.step_count == 5
+    got = app2.progress(batch)
+    np.testing.assert_allclose(float(got["loss"]), float(ref_metrics["loss"]),
+                               rtol=1e-6)

@@ -72,3 +72,18 @@ def test_pcg_grad_flows(rng):
     g_pcg = jax.jit(jax.grad(lambda d: loss(d, "pcg")))(div0)
     np.testing.assert_allclose(np.asarray(g_pcg), np.asarray(g_cg),
                                rtol=1e-2, atol=1e-3)
+
+
+def test_open_domain_spectral_exact(rng):
+    dom = Domain2D.create(16, 16, closed=False)
+    div = jnp.asarray(rng.normal(size=(2, 16, 16)), jnp.float32)
+    p_cg = solve_pressure(div, dom, tol=1e-7, maxiter=800, backend="jax")
+    p_sp = solve_pressure(div, dom, backend="spectral")
+    np.testing.assert_allclose(np.asarray(p_sp), np.asarray(p_cg), atol=2e-3)
+    # residual check against the actual masked operator
+    b = np.asarray(-div)
+    res = np.asarray(masked_laplace_spd(p_sp, dom)) - b
+    assert np.abs(res).max() < 1e-3
+    # 'auto' on an open obstacle-free domain routes to spectral
+    p_auto = solve_pressure(div, dom, backend="auto")
+    np.testing.assert_allclose(np.asarray(p_auto), np.asarray(p_sp), atol=1e-6)
