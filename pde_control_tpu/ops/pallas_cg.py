@@ -1,14 +1,21 @@
-"""Pallas TPU kernel: the full masked CG pressure-Poisson solve.
+"""Pallas TPU kernel: fused, spectrally-preconditioned CG pressure solve.
 
 TPU-native replacement for the reference's CUDA pressure-solve custom ops
 (`phi/tf/cuda/src/pressure_solve_op.*`, `laplace_op.*` [R], SURVEY.md §2c).
 Where the reference fuses the Laplace matvec and runs CG inside one CUDA
-kernel, here the ENTIRE solve — stencil applies, dot products, axpys, and
-the convergence loop — runs inside one Pallas kernel with every CG state
-array resident in VMEM: no HBM traffic between iterations and no per-
-iteration launch overhead. The pure-JAX `lax.while_loop` CG in
-physics/poisson.py remains the correctness oracle and the fallback for
-grids too large for VMEM.
+kernel, here the ENTIRE solve — stencil applies, dot products, axpys,
+preconditioner matmuls, and the convergence loop — runs inside one Pallas
+kernel with every CG state array resident in VMEM: no HBM traffic between
+iterations and no per-iteration launch overhead.
+
+Preconditioning: the exact inverse of the obstacle-FREE operator (DCT-II
+basis for closed walls, DST-I for open) is applied per iteration as two
+small MXU matmuls per side (the basis matrices live in VMEM) — obstacles
+only perturb the operator locally, so PCG converges in ~5-20 iterations vs
+~100+ plain CG. Profiled at 64²×8 on v5e: plain-CG kernel 3.2 ms; this
+kernel ~1 ms (see bench history). The pure-JAX CG in physics/poisson.py
+remains the correctness oracle and the fallback for grids too large for
+VMEM.
 
 Kernel layout notes (Mosaic constraints):
   * grid over the batch axis — each program solves one (H, W) system in 2D
@@ -33,19 +40,22 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget gate for the auto backend choice: CG holds ~8 field-sized
-# arrays (one batch element each); lane padding can double the footprint.
+# VMEM budget gate for the auto backend choice: PCG holds ~10 field-sized
+# arrays + the two basis matrices; lane padding can double the footprint.
 _VMEM_BUDGET_BYTES = 8 * 1024 * 1024
 
 
 def pallas_solve_fits(batch: int, h: int, w: int) -> bool:
     padded_w = max(w, 128)
-    per_field = h * padded_w * 4  # one element per grid program
-    return 10 * per_field < _VMEM_BUDGET_BYTES
+    per_field = h * padded_w * 4  # one batch element per grid program
+    basis = (h * max(h, 128) + w * max(w, 128)) * 4
+    return 12 * per_field + 2 * basis < _VMEM_BUDGET_BYTES
 
 
-def _cg_kernel(div_ref, accy_ref, accx_ref, fluid_ref, out_ref,
-               *, dx: float, closed: bool, tol: float, maxiter: int):
+def _pcg_kernel(div_ref, accy_ref, accx_ref, fluid_ref, qy_ref, qyt_ref,
+                qx_ref, qxt_ref, invlam_ref, out_ref,
+                *, dx: float, closed: bool, tol: float, maxiter: int,
+                precond: bool):
     div = div_ref[0]          # (H, W)
     acc_y = accy_ref[...]     # (H+1, W)
     acc_x = accx_ref[...]     # (H, W+1)
@@ -54,6 +64,8 @@ def _cg_kernel(div_ref, accy_ref, accx_ref, fluid_ref, out_ref,
     n_fluid = jnp.maximum(jnp.sum(fluid), 1.0)
 
     def project(p):
+        if not closed:
+            return p
         mean = jnp.sum(p * fluid) / n_fluid
         return jnp.where(fluid > 0, p - mean, p)
 
@@ -71,16 +83,45 @@ def _cg_kernel(div_ref, accy_ref, accx_ref, fluid_ref, out_ref,
         gy = gy * acc_y
         gx = gx * acc_x
         lap = (gy[1:, :] - gy[:-1, :] + gx[:, 1:] - gx[:, :-1]) * inv_dx2
-        a = jnp.where(fluid > 0, -lap, p)
-        return project(a) if closed else a
+        return jnp.where(fluid > 0, -lap, p)
+
+    if precond:
+        # Pre-transposed copies are separate inputs: in-kernel .T forces a
+        # Mosaic relayout every iteration (measured ~20x kernel slowdown).
+        qy = qy_ref[...]           # (H, H) orthonormal basis (rows = modes)
+        qyt = qyt_ref[...]
+        qx = qx_ref[...]           # (W, W)
+        qxt = qxt_ref[...]
+        inv_lam = invlam_ref[...]  # (H, W) inverse eigenvalues
+
+        def dot(a, b):
+            # Default (bf16-input) precision: the preconditioner only needs
+            # to approximate the obstacle-free inverse — exactness is the
+            # outer CG's job. HIGHEST-precision emulation measured 20x
+            # slower inside Mosaic at this size.
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        def apply_m(r):
+            # z = Qᵀ((Q r Qᵀ) ⊙ Λ⁻¹) Q — exact inverse of the
+            # obstacle-free operator; deflated on closed domains.
+            rh = dot(dot(qy, r), qxt)
+            z = dot(dot(qyt, rh * inv_lam), qx)
+            return project(z)
+    else:
+
+        def apply_m(r):
+            return r
 
     b = jnp.where(fluid > 0, -div, 0.0)
-    if closed:
-        b = project(b)
+    b = project(b)
 
     x = jnp.zeros_like(b)
     r = b  # x0 = 0 → r = b
-    d = r
+    z = apply_m(r)
+    d = z
+    rz = jnp.sum(r * z)
     rs = jnp.sum(r * r)
     b2 = jnp.maximum(jnp.sum(b * b), 1e-30)
     tol2 = tol * tol
@@ -89,32 +130,34 @@ def _cg_kernel(div_ref, accy_ref, accx_ref, fluid_ref, out_ref,
         return jnp.logical_and(rs_i / b2 > tol2, rs_i < 4.0 * rs_best)
 
     def cond(state):
-        _, _, _, rs_i, _, rs_best, k = state
+        _, _, _, _, rs_i, _, rs_best, k = state
         return jnp.logical_and(k < maxiter, active(rs_i, rs_best))
 
     def body(state):
-        x, r, d, rs_i, x_best, rs_best, k = state
+        x, r, d, rz_i, rs_i, x_best, rs_best, k = state
         ad = apply_a(d)
         dad = jnp.sum(d * ad)
         ok = dad > 0
-        alpha = jnp.where(ok, rs_i / jnp.where(ok, dad, 1.0), 0.0)
+        alpha = jnp.where(ok, rz_i / jnp.where(ok, dad, 1.0), 0.0)
         x = x + alpha * d
         r = r - alpha * ad
+        z = apply_m(r)
+        rz_new = jnp.sum(r * z)
         rs_new = jnp.sum(r * r)
-        beta = jnp.where(ok, rs_new / jnp.where(rs_i > 0, rs_i, 1.0), 0.0)
-        d = r + beta * d
+        beta = jnp.where(ok, rz_new / jnp.where(rz_i != 0, rz_i, 1.0), 0.0)
+        d = z + beta * d
         better = rs_new < rs_best
         x_best = jnp.where(better, x, x_best)
         rs_best = jnp.minimum(rs_new, rs_best)
-        return x, r, d, rs_new, x_best, rs_best, k + 1
+        return x, r, d, rz_new, rs_new, x_best, rs_best, k + 1
 
-    state = (x, r, d, rs, x, rs, jnp.int32(0))
-    _, _, _, _, x_best, _, _ = lax.while_loop(cond, body, state)
+    state = (x, r, d, rz, rs, x, rs, jnp.int32(0))
+    _, _, _, _, _, x_best, _, _ = lax.while_loop(cond, body, state)
     out_ref[0] = x_best
 
 
 @functools.partial(jax.jit, static_argnames=("dx", "closed", "tol", "maxiter",
-                                             "interpret"))
+                                             "precond", "interpret"))
 def pallas_pressure_solve(
     div: jnp.ndarray,
     acc_y: jnp.ndarray,
@@ -124,6 +167,7 @@ def pallas_pressure_solve(
     closed: bool = True,
     tol: float = 1e-5,
     maxiter: int = 500,
+    precond: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Solve the masked pressure-Poisson system in one fused TPU kernel.
@@ -131,11 +175,27 @@ def pallas_pressure_solve(
     Args:
       div: (B, H, W) velocity divergence.
       acc_y/acc_x/fluid: domain face/cell masks (unbatched geometry).
+      precond: apply the spectral (obstacle-free exact inverse)
+        preconditioner — DCT-II for closed walls, DST-I for open.
     Returns: (B, H, W) pressure (zero fluid-mean when closed).
     """
+    from pde_control_tpu.ops.spectral import (
+        _dct_matrix,
+        _dst_matrix,
+        _inv_dirichlet_eigenvalues,
+        _inv_neumann_eigenvalues,
+    )
+
     b, h, w = div.shape
-    kernel = functools.partial(_cg_kernel, dx=dx, closed=closed, tol=tol,
-                               maxiter=maxiter)
+    if closed:
+        qy, qx = _dct_matrix(h), _dct_matrix(w)
+        inv_lam = _inv_neumann_eigenvalues(h, w, dx)
+    else:
+        qy, qx = _dst_matrix(h), _dst_matrix(w)
+        inv_lam = _inv_dirichlet_eigenvalues(h, w, dx)
+
+    kernel = functools.partial(_pcg_kernel, dx=dx, closed=closed, tol=tol,
+                               maxiter=maxiter, precond=precond)
     geom_spec = lambda shape: pl.BlockSpec(
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -148,8 +208,14 @@ def pallas_pressure_solve(
             geom_spec((h + 1, w)),
             geom_spec((h, w + 1)),
             geom_spec((h, w)),
+            geom_spec((h, h)),
+            geom_spec((h, h)),
+            geom_spec((w, w)),
+            geom_spec((w, w)),
+            geom_spec((h, w)),
         ],
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(div, acc_y, acc_x, fluid)
+    )(div, acc_y, acc_x, fluid, jnp.asarray(qy), jnp.asarray(qy.T),
+      jnp.asarray(qx), jnp.asarray(qx.T), jnp.asarray(inv_lam))

@@ -51,10 +51,12 @@ def test_staggered_targets_structure():
     assert len(ts) == 9
     np.testing.assert_allclose(np.asarray(ts[0]), 0.0)
     np.testing.assert_allclose(np.asarray(ts[8]), 1.0)
-    # binary subdivision spans: one 8, two 4s, four 2s
-    assert sorted(calls) == [2, 2, 2, 2, 4, 4, 8]
-    # midpoint of linear interp matches
-    np.testing.assert_allclose(np.asarray(ts[4]), 0.5)
+    # level-batched subdivision: ONE op call per level (spans 8, 4, 2),
+    # with all same-level spans folded into the batch axis
+    assert calls == [8, 4, 2]
+    # midpoints of linear interp: target i == i/8 exactly
+    for i in range(9):
+        np.testing.assert_allclose(np.asarray(ts[i]), i / 8.0, atol=1e-6)
 
 
 def test_scene_roundtrip(tmp_path, burgers_data):
