@@ -21,7 +21,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("name", choices=[
         "burgers_chain", "burgers_hierarchical", "shape_transition",
-        "smoke_indirect", "natural_flow_128"])
+        "smoke_indirect", "natural_flow_128", "burgers_adjoint"])
     p.add_argument("--workdir", default=None)
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--smoke-test", action="store_true")
@@ -39,7 +39,31 @@ def main() -> None:
     st = args.smoke_test
     it = args.iterations
 
-    if args.name == "burgers_chain":
+    if args.name == "burgers_adjoint":
+        # The paper's classical comparator: direct force optimization
+        # through the differentiable solver (no networks).
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        from pde_control_tpu.control.adjoint import optimize_forces
+        from pde_control_tpu.control.pde_burgers import BurgersPDE
+
+        n = 4 if st else 32
+        train, val = burgers.make_datasets(n, 8 if st else 32, 8, workdir)
+        pde = BurgersPDE(burgers.BURGERS_CFG)
+        batch = val.sample(np.random.default_rng(0), 8)
+        u0 = pde.initial_state(batch)
+        target = jnp.asarray(batch["obs"][:, n])
+        forces, hist = optimize_forces(
+            pde, u0, target, n=n, iterations=it or (50 if st else 500),
+            learning_rate=0.1, force_reg=1e-4)
+        result = {
+            "final_obs_mse": float(np.asarray(hist["obs_loss"])[-1]),
+            "initial_obs_mse": float(np.asarray(hist["obs_loss"])[0]),
+            "mean_force_cost": float(np.asarray(hist["force_cost"])[-1]),
+        }
+    elif args.name == "burgers_chain":
         result = burgers.run_chain_supervised(
             workdir, n=4 if st else 32,
             iterations=it or (30 if st else 2000),

@@ -73,6 +73,7 @@ def fluid_step(
     cfg: FluidConfig,
     force: Staggered2D | None = None,
     buoyancy_factor: jnp.ndarray | float | None = None,
+    inflow: jnp.ndarray | None = None,
 ) -> FluidState:
     """One differentiable incompressible-flow step.
 
@@ -85,12 +86,16 @@ def fluid_step(
       buoyancy_factor: overrides cfg.buoyancy when given; may be a traced
         per-batch scalar (B, 1, 1) — the *indirect* control channel of the
         smoke task (buoyancy-only forcing [R], BASELINE config 4).
+      inflow: optional (B, H, W) or (H, W) smoke source rate — PhiFlow's
+        Inflow FieldEffect [R]; density += dt·inflow after advection.
     Returns: next FluidState (projected velocity, advected density).
     """
     dt, dx = cfg.dt, domain.dx
     adv = dict(dx=dx, mode=cfg.advection_mode, max_shift=cfg.max_shift)
 
     density = advect_centered(state.density, state.velocity, dt, **adv)
+    if inflow is not None:
+        density = density + dt * inflow
     v = advect_staggered(state.velocity, dt, **adv)
 
     if cfg.viscosity:
