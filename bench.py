@@ -32,7 +32,7 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_baseline.json")
 
 
-def measure(iters: int = ITERS, warmup: int = WARMUP) -> dict:
+def measure(iters: int = ITERS, warmup: int = WARMUP, trials: int = 3) -> dict:
     import jax
 
     from __graft_entry__ import _make_app, _make_batch  # enables compile cache
@@ -51,10 +51,11 @@ def measure(iters: int = ITERS, warmup: int = WARMUP) -> dict:
     jax.block_until_ready(app.params)
     compile_time = time.time() - t0
 
-    # Best-of-3 trials: the axon device tunnel has sporadic multi-10ms
-    # latency spikes that poison single-trial averages (measured).
+    # Best-of-N trials: the axon device tunnel has sporadic multi-10ms
+    # latency spikes that poison single-trial averages (measured). The CPU
+    # baseline uses one trial — its iterations take minutes each.
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(trials):
         t0 = time.time()
         for _ in range(iters):
             app.progress(batch)
@@ -93,7 +94,7 @@ def cpu_baseline() -> float:
 
 def main() -> None:
     if "--measure-only" in sys.argv:
-        r = measure(iters=3, warmup=1)
+        r = measure(iters=3, warmup=1, trials=1)
         print(json.dumps(r))
         return
     r = measure()

@@ -77,7 +77,6 @@ class IncompressibleFluidPDE(PDE):
     # net glue ---------------------------------------------------------------
     def cfe_inputs(self, state: FluidState, target_obs: jnp.ndarray) -> jnp.ndarray:
         vy_c, vx_c = state.velocity.at_centers()
-        b = state.density.shape[0]
         mask = jnp.broadcast_to(
             self.domain.fluid_mask[None], state.density.shape
         )

@@ -65,6 +65,8 @@ class ControlTraining:
         remat: bool = True,
         logdir: str | None = None,
         mesh=None,
+        grad_clip: float | None = None,
+        lr_schedule: str | None = None,  # None | 'cosine'
     ):
         if sequence_class not in SEQUENCE_CLASSES:
             raise ValueError(f"unknown sequence_class {sequence_class!r}")
@@ -85,6 +87,8 @@ class ControlTraining:
         self.force_reg = force_reg
         self.learning_rate = learning_rate
         self.restore = restore
+        self.grad_clip = grad_clip
+        self.lr_schedule = lr_schedule
         self.seed = seed
         self.remat = remat
         self.mesh = mesh
@@ -146,9 +150,16 @@ class ControlTraining:
             name: ("train" if name in self.trainable_networks else "freeze")
             for name in params
         }
+        lr = self.learning_rate
+        if self.lr_schedule == "cosine":
+            lr = optax.cosine_decay_schedule(self.learning_rate, 100_000,
+                                             alpha=0.1)
+        train_tx = optax.adam(lr)
+        if self.grad_clip:
+            train_tx = optax.chain(
+                optax.clip_by_global_norm(self.grad_clip), train_tx)
         self.optimizer = optax.multi_transform(
-            {"train": optax.adam(self.learning_rate),
-             "freeze": optax.set_to_zero()},
+            {"train": train_tx, "freeze": optax.set_to_zero()},
             labels,
         )
         self.params = params

@@ -35,6 +35,7 @@ class CurriculumConfig:
     # Staged horizon growth for stage 3 (reference §3.4: "optionally staged
     # n: 8→16→…→n"); None = train at full n directly.
     e2e_stage_ns: tuple | None = None
+    grad_clip: float | None = None
     seed: int = 0
 
 
@@ -63,7 +64,8 @@ def run_curriculum(
 
     common = dict(pde=pde, dataset=dataset, val_dataset=val_dataset,
                   batch_size=cfg.batch_size, mesh=mesh,
-                  force_reg=cfg.force_reg, seed=cfg.seed)
+                  force_reg=cfg.force_reg, grad_clip=cfg.grad_clip,
+                  seed=cfg.seed)
 
     # ---- stage 1: CFE supervised (chain, all-frames loss) -------------------
     if not skip_cfe:

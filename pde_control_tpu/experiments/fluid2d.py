@@ -92,5 +92,5 @@ def run_natural_flow_128(workdir: str, size: int = 64, n: int = 128,
                             cfe_iterations=iterations,
                             op_iterations=iterations,
                             e2e_iterations=iterations,
-                            force_reg=1e-3)
+                            force_reg=1e-3, grad_clip=1.0)
     return run_curriculum(pde, ccfg, train, val, workdir, mesh=mesh)

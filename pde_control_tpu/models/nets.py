@@ -84,7 +84,15 @@ class UNet(nn.Module):
 
 
 class CFENet(nn.Module):
-    """Control-force estimator: a small conv net (the reference's CFE [R])."""
+    """Control-force estimator: a small conv net (the reference's CFE [R]).
+
+    The output layer is ZERO-initialized: an untrained CFE exerts no force,
+    so rollouts start at the natural (uncontrolled) trajectory and training
+    refines from there. Without this, random initial forces destabilize
+    long (e.g. 128-step) rollouts — advection clipping then flattens the
+    gradients and the force regularizer dominates a stuck loss (observed on
+    BASELINE config 5).
+    """
 
     out_channels: int
     features: Sequence[int] = (32, 64, 64, 32)
@@ -100,5 +108,7 @@ class CFENet(nn.Module):
         for f in self.features:
             x = nn.Conv(f, k, padding=self.padding, dtype=self.dtype)(x)
             x = nn.leaky_relu(x, 0.1)
-        x = nn.Conv(self.out_channels, k, padding=self.padding, dtype=self.dtype)(x)
+        x = nn.Conv(self.out_channels, k, padding=self.padding,
+                    dtype=self.dtype,
+                    kernel_init=nn.initializers.zeros)(x)
         return x.astype(in_dtype)
