@@ -17,4 +17,17 @@ Design notes (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
-from pde_control_tpu import grids, ops, physics  # noqa: F401
+from pde_control_tpu import geom, grids, ops, physics  # noqa: F401
+from pde_control_tpu.control.adjoint import optimize_forces  # noqa: F401
+from pde_control_tpu.control.pde_burgers import BurgersPDE  # noqa: F401
+from pde_control_tpu.control.pde_fluid import IncompressibleFluidPDE  # noqa: F401
+from pde_control_tpu.control.training import ControlTraining  # noqa: F401
+from pde_control_tpu.grids import Domain2D, Staggered2D  # noqa: F401
+from pde_control_tpu.physics import (  # noqa: F401
+    BurgersConfig,
+    FluidConfig,
+    FluidState,
+    burgers_step,
+    divergence_free,
+    fluid_step,
+)

@@ -176,3 +176,18 @@ def test_training_state_resume(burgers_data, tmp_path):
     got = app2.progress(batch)
     np.testing.assert_allclose(float(got["loss"]), float(ref_metrics["loss"]),
                                rtol=1e-6)
+
+
+def test_chain_final_greedy_sequence(burgers_data):
+    # Greedy mode: every step targets the FINAL observation (no OPs).
+    pde = BurgersPDE(CFG)
+    app = ControlTraining(
+        4, pde, dataset=burgers_data, batch_size=4,
+        trainable_networks=("CFE",), sequence_class="chain_final",
+        obs_loss_frames=(4,),
+    ).prepare()
+    m = app.progress()
+    assert np.isfinite(float(m["loss"]))
+    obs_traj, costs, final = app.infer_all_frames(
+        burgers_data.sample(np.random.default_rng(0), 4))
+    assert obs_traj.shape[0] == 4
