@@ -1,0 +1,43 @@
+"""Aux-subsystem tests: viz renders, metrics logging, profiling hooks."""
+
+import json
+import os
+
+import numpy as np
+
+from pde_control_tpu.utils.logging import MetricsLogger
+from pde_control_tpu.utils.profiling import enable_nan_checks, named
+from pde_control_tpu.utils.viz import save_field_png, save_trajectory_strip
+
+
+def test_viz_renders_pngs(tmp_path, rng):
+    f2 = rng.normal(size=(12, 12))
+    p1 = str(tmp_path / "field.png")
+    save_field_png(f2, p1, title="t")
+    assert os.path.getsize(p1) > 1000
+    p2 = str(tmp_path / "line.png")
+    save_field_png(rng.normal(size=(32,)), p2)
+    assert os.path.getsize(p2) > 1000
+    p3 = str(tmp_path / "strip.png")
+    save_trajectory_strip(rng.normal(size=(4, 8, 8)), p3, every=2)
+    assert os.path.getsize(p3) > 1000
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    logger = MetricsLogger(str(tmp_path))
+    logger.log(3, {"loss": 0.5, "mse": np.float32(0.25)}, prefix="train/")
+    logger.close()
+    rows = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert rows[0]["step"] == 3
+    assert rows[0]["train/loss"] == 0.5
+    assert abs(rows[0]["train/mse"] - 0.25) < 1e-9
+
+
+def test_profiling_hooks_run():
+    import jax.numpy as jnp
+
+    with named("test_scope"):
+        x = jnp.ones(4).sum()
+    assert float(x) == 4.0
+    enable_nan_checks(True)
+    enable_nan_checks(False)
