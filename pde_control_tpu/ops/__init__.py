@@ -9,4 +9,9 @@ from pde_control_tpu.ops.stencils import laplace, pad_edge  # noqa: F401
 from pde_control_tpu.ops.interp import (  # noqa: F401
     linear_sample_1d,
     bilinear_sample_2d,
+    shift_bilinear_sample_2d,
+)
+from pde_control_tpu.ops.spectral import (  # noqa: F401
+    spectral_dirichlet_solve,
+    spectral_neumann_solve,
 )
