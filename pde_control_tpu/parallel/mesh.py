@@ -27,7 +27,14 @@ def make_mesh(
     """
     devices = jax.devices(platform) if platform else jax.devices()
     if n_devices is not None and len(devices) < n_devices and platform is None:
+        import warnings
+
         devices = jax.devices("cpu")
+        warnings.warn(
+            f"make_mesh: default platform has {len(jax.devices())} device(s) "
+            f"< {n_devices} requested — FALLING BACK TO CPU devices. Results "
+            "validate sharding logic, not TPU execution; pass platform='cpu' "
+            "to silence.", stacklevel=2)
     if n_devices is not None:
         if len(devices) < n_devices:
             raise ValueError(
