@@ -67,6 +67,7 @@ class ControlTraining:
         mesh=None,
         grad_clip: float | None = None,
         lr_schedule: str | None = None,  # None | 'cosine'
+        decay_steps: int | None = None,  # cosine horizon = planned iterations
     ):
         if sequence_class not in SEQUENCE_CLASSES:
             raise ValueError(f"unknown sequence_class {sequence_class!r}")
@@ -89,6 +90,12 @@ class ControlTraining:
         self.restore = restore
         self.grad_clip = grad_clip
         self.lr_schedule = lr_schedule
+        if lr_schedule == "cosine" and not decay_steps:
+            raise ValueError(
+                "lr_schedule='cosine' needs decay_steps (the stage's planned "
+                "iteration count) — a fixed horizon silently disables decay "
+                "for typical 300-2000-iter stages")
+        self.decay_steps = decay_steps
         self.seed = seed
         self.remat = remat
         self.mesh = mesh
@@ -152,8 +159,9 @@ class ControlTraining:
         }
         lr = self.learning_rate
         if self.lr_schedule == "cosine":
-            lr = optax.cosine_decay_schedule(self.learning_rate, 100_000,
-                                             alpha=0.1)
+            lr = optax.cosine_decay_schedule(self.learning_rate,
+                                             self.decay_steps, alpha=0.1)
+            self.lr_schedule_fn = lr
         train_tx = optax.adam(lr)
         if self.grad_clip:
             train_tx = optax.chain(

@@ -20,32 +20,55 @@ _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "csrc",
                     "scene_loader.cpp")
 _SO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "csrc",
                    "libsceneloader.so")
+_HASH = _SO + ".srchash"
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
-def _build() -> bool:
+def _src_hash() -> str:
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _build(src_hash: str) -> bool:
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
            _SRC, "-o", _SO]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
-        return r.returncode == 0
+        if r.returncode != 0:
+            return False
+        with open(_HASH, "w") as f:
+            f.write(src_hash)
+        return True
     except Exception:
         return False
 
 
+def _is_current() -> bool:
+    """The cached .so is trusted only if its recorded source hash matches —
+    mtimes are unreliable (git checkouts don't preserve them), and a stale
+    or foreign binary must never be loaded silently."""
+    if not os.path.exists(_SO) or not os.path.exists(_HASH):
+        return False
+    try:
+        with open(_HASH) as f:
+            return f.read().strip() == _src_hash()
+    except OSError:
+        return False
+
+
 def get_lib():
-    """Load (building if needed) the native library, or None."""
+    """Load (building from source if needed) the native library, or None."""
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or (
-            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
-        ):
-            if not _build():
+        if not _is_current():
+            if not _build(_src_hash()):
                 return None
         try:
             lib = ctypes.CDLL(_SO)

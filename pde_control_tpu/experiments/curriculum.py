@@ -56,6 +56,10 @@ def run_curriculum(
     mesh=None,
     skip_cfe: bool = False,
 ) -> dict:
+    if cfg.e2e_stage_ns and cfg.e2e_stage_ns[-1] != cfg.n:
+        raise ValueError(
+            f"e2e_stage_ns must end at n={cfg.n} (got {cfg.e2e_stage_ns}) — "
+            "the final eval compares frame n of the last-stage model")
     os.makedirs(workdir, exist_ok=True)
     results: dict = {}
 

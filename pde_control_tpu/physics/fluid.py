@@ -47,7 +47,10 @@ class FluidConfig:
     max_shift: int = 2             # CFL bound for shift advection
     pressure_tol: float = 1e-5
     pressure_maxiter: int = 500
-    pressure_backend: str = "auto"  # 'auto' | 'jax' | 'pallas'
+    # 'auto' | 'jax' (masked CG) | 'pallas' (fused-kernel PCG) |
+    # 'spectral' (exact DCT solve, obstacle-free domains only) |
+    # 'pcg' (spectrally-preconditioned CG) — see poisson.solve_pressure.
+    pressure_backend: str = "auto"
 
 
 def divergence_free(

@@ -191,3 +191,24 @@ def test_chain_final_greedy_sequence(burgers_data):
     obs_traj, costs, final = app.infer_all_frames(
         burgers_data.sample(np.random.default_rng(0), 4))
     assert obs_traj.shape[0] == 4
+
+
+def test_cosine_schedule_decays_over_stage(burgers_data):
+    # VERDICT r1 item 10: decay horizon must come from the stage length, not
+    # a fixed 100k constant that never decays for 300-2000-iter stages.
+    pde = BurgersPDE(CFG)
+    app = ControlTraining(
+        4, pde, dataset=burgers_data, batch_size=4,
+        trainable_networks=("CFE",), sequence_class="chain",
+        lr_schedule="cosine", decay_steps=500, learning_rate=1e-3,
+    ).prepare()
+    lr0 = float(app.lr_schedule_fn(0))
+    lr_end = float(app.lr_schedule_fn(500))
+    assert lr0 == pytest.approx(1e-3)
+    assert lr_end < 0.2 * lr0
+    with pytest.raises(ValueError, match="decay_steps"):
+        ControlTraining(
+            4, pde, dataset=burgers_data, batch_size=4,
+            trainable_networks=("CFE",), sequence_class="chain",
+            lr_schedule="cosine",
+        )
