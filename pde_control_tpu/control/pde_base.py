@@ -16,6 +16,7 @@ import abc
 from typing import Any
 
 import jax.numpy as jnp
+import numpy as np
 
 State = Any
 Force = Any
@@ -46,6 +47,18 @@ class PDE(abc.ABC):
     @abc.abstractmethod
     def force_cost(self, force: Force) -> jnp.ndarray:
         """Per-sample control effort Σ‖F‖² → (B,)."""
+
+    def force_abs_mean(self, force: Force) -> jnp.ndarray:
+        """Per-sample mean |F| over all force components → (B,) — the
+        paper's reported force metric (mean absolute force per cell),
+        distinct from the Σ‖F‖²·dxᵈ training regularizer."""
+        import jax
+
+        leaves = jax.tree_util.tree_leaves(force)
+        total = sum(jnp.sum(jnp.abs(l), axis=tuple(range(1, l.ndim)))
+                    for l in leaves)
+        count = sum(int(np.prod(l.shape[1:])) for l in leaves)
+        return total / count
 
     # ------------------------------------------------------------- net glue
 

@@ -74,7 +74,9 @@ def run_chain(
     """Execute the CFE chain left→right against per-step targets.
 
     Args:
-      step_fn: (state, target) → (next_state, force_cost).
+      step_fn: (state, target) → (next_state, aux) — aux is any pytree of
+        per-step outputs (force cost, and for inference the force fields
+        themselves); it is stacked along a leading time axis by the scan.
       observe: state → observation.
       state0: initial full state (pytree).
       targets: (n, B, *spatial, C) — target observation for steps 1..n,
@@ -82,24 +84,24 @@ def run_chain(
       remat: rematerialize the scan body (needed for long rollouts).
       keep_states: also stack the full state trajectory (inference — the
         reference's infer_all_frames returns every frame's fields [R]).
-    Returns: (final_state, obs_traj (n, B, *s, C), force_costs (n, B))
-    or, with keep_states, (..., states) where states has a leading time
-    axis on every leaf.
+    Returns: (final_state, obs_traj (n, B, *s, C), aux_traj) or, with
+    keep_states, (..., states) where states has a leading time axis on
+    every leaf.
     """
 
     def body(state, tgt):
-        nxt, cost = step_fn(state, tgt)
-        out = (observe(nxt), cost, nxt) if keep_states else (observe(nxt), cost)
+        nxt, aux = step_fn(state, tgt)
+        out = (observe(nxt), aux, nxt) if keep_states else (observe(nxt), aux)
         return nxt, out
 
     if remat:
         body = jax.checkpoint(body)
     final, ys = lax.scan(body, state0, targets)
     if keep_states:
-        obs_traj, costs, states = ys
-        return final, obs_traj, costs, states
-    obs_traj, costs = ys
-    return final, obs_traj, costs
+        obs_traj, aux_traj, states = ys
+        return final, obs_traj, aux_traj, states
+    obs_traj, aux_traj = ys
+    return final, obs_traj, aux_traj
 
 
 def run_refined(
@@ -110,6 +112,7 @@ def run_refined(
     target: jnp.ndarray,
     n: int,
     remat: bool = True,
+    keep_states: bool = False,
 ):
     """Prediction-refinement execution (paper appendix scheme).
 
@@ -117,15 +120,17 @@ def run_refined(
     executed observation, execute the left half against it, then recurse on
     the right half from the actually-reached state.
 
-    Returns: (final_state, obs_traj (n, B, *s, C), force_costs (n, B)).
+    step_fn returns (next_state, aux); per-step aux pytrees are stacked on a
+    leading time axis. Returns (final_state, obs_traj (n, B, *s, C),
+    aux_traj) or, with keep_states, (..., states).
     """
     if n & (n - 1):
         raise ValueError(f"n must be a power of two, got {n}")
 
     def rec(state, tgt, span):
         if span == 1:
-            nxt, cost = step_fn(state, tgt)
-            return nxt, [observe(nxt)], [cost]
+            nxt, aux = step_fn(state, tgt)
+            return nxt, [observe(nxt)], [aux], [nxt] if keep_states else []
         o_mid = op_fn(span, observe(state), tgt)
         left = lambda s: rec(s, o_mid, span // 2)
         right = lambda s: rec(s, tgt, span // 2)
@@ -134,9 +139,13 @@ def run_refined(
             # recursion spine, recompute on the backward sweep.
             left = jax.checkpoint(left)
             right = jax.checkpoint(right)
-        mid_state, obs_l, cost_l = left(state)
-        end_state, obs_r, cost_r = right(mid_state)
-        return end_state, obs_l + obs_r, cost_l + cost_r
+        mid_state, obs_l, aux_l, st_l = left(state)
+        end_state, obs_r, aux_r, st_r = right(mid_state)
+        return end_state, obs_l + obs_r, aux_l + aux_r, st_l + st_r
 
-    final, obs_list, cost_list = rec(state0, target, n)
-    return final, jnp.stack(obs_list), jnp.stack(cost_list)
+    final, obs_list, aux_list, state_list = rec(state0, target, n)
+    stack = lambda lst: jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *lst)
+    if keep_states:
+        return final, jnp.stack(obs_list), stack(aux_list), stack(state_list)
+    return final, jnp.stack(obs_list), stack(aux_list)

@@ -179,7 +179,6 @@ class ControlTraining:
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
         self._eval = jax.jit(self._loss_fn)
-        self._rollout_jit = jax.jit(self.rollout)
         self._np_rng = np.random.default_rng(self.seed + 1)
         self.step_count = 0
         self._prepared = True
@@ -187,12 +186,15 @@ class ControlTraining:
 
     # ----------------------------------------------------------- sequencing
 
-    def _cfe_step(self, params, state, target_obs):
+    def _cfe_step(self, params, state, target_obs, keep_force: bool = False):
         x = self.pde.cfe_inputs(state, target_obs)
         out = self.cfe.apply({"params": params["CFE"]}, x)
         force = self.pde.force_from_net(out, state)
         nxt = self.pde.step(state, force)
-        return nxt, self.pde.force_cost(force)
+        cost = self.pde.force_cost(force)
+        if keep_force:
+            return nxt, {"cost": cost, "force": force}
+        return nxt, {"cost": cost}
 
     def _op_fn(self, params):
         def op(span, o_a, o_b):
@@ -201,14 +203,17 @@ class ControlTraining:
 
         return op
 
-    def rollout(self, params, batch, keep_states: bool = False):
+    def rollout(self, params, batch, keep_states: bool = False,
+                keep_forces: bool = False):
         """Run the configured sequence. Returns (obs_traj (n, B, *s, C),
-        force_costs (n, B), final_state); with keep_states (inference),
-        returns (obs_traj, costs, final_state, states) where `states`
-        stacks every frame's full state (reference: infer_all_frames [R])."""
+        aux, final_state[, states]) where aux is a dict with per-step
+        'cost' (n, B) and, with keep_forces, 'force' — the actual control
+        force fields, a pytree with a leading time axis (reference:
+        infer_all_frames returns states AND forces [R], SURVEY §3.5)."""
         gt = _time_major(batch["obs"])[: self.n + 1]  # (n+1, B, *s, C)
         state0 = self.pde.initial_state(batch)
-        step_fn = lambda s, t: self._cfe_step(params, s, t)
+        step_fn = lambda s, t: self._cfe_step(params, s, t,
+                                              keep_force=keep_forces)
         observe = self.pde.observe
 
         if self.sequence_class == "chain":
@@ -219,24 +224,25 @@ class ControlTraining:
             ts = staggered_targets(self._op_fn(params), gt[0], gt[-1], self.n)
             targets = jnp.stack(ts[1:])
         elif self.sequence_class == "refined":
-            if keep_states:
-                raise NotImplementedError(
-                    "keep_states is unsupported for the refined sequence")
-            final, obs_traj, costs = run_refined(
+            out = run_refined(
                 step_fn, self._op_fn(params), observe, state0, gt[-1],
-                self.n, self.remat)
-            return obs_traj, costs, final
+                self.n, self.remat, keep_states=keep_states)
+            if keep_states:
+                final, obs_traj, aux, states = out
+                return obs_traj, aux, final, states
+            final, obs_traj, aux = out
+            return obs_traj, aux, final
         else:
             raise ValueError(self.sequence_class)
 
         if keep_states:
-            final, obs_traj, costs, states = run_chain(
+            final, obs_traj, aux, states = run_chain(
                 step_fn, observe, state0, targets, self.remat,
                 keep_states=True)
-            return obs_traj, costs, final, states
-        final, obs_traj, costs = run_chain(
+            return obs_traj, aux, final, states
+        final, obs_traj, aux = run_chain(
             step_fn, observe, state0, targets, self.remat)
-        return obs_traj, costs, final
+        return obs_traj, aux, final
 
     # ---------------------------------------------------------------- losses
 
@@ -265,7 +271,8 @@ class ControlTraining:
         if self.sequence_class == "op_supervised":
             return self._op_supervised_loss(params, batch)
         gt = _time_major(batch["obs"])
-        obs_traj, costs, _ = self.rollout(params, batch)
+        obs_traj, aux, _ = self.rollout(params, batch)
+        costs = aux["cost"]
         metrics = {}
         loss = 0.0
         for f in self.obs_loss_frames:
@@ -339,16 +346,31 @@ class ControlTraining:
         _, metrics = self._eval(self.params, batch)
         return {k: float(v) for k, v in metrics.items()}
 
-    def infer_all_frames(self, batch, keep_states: bool = False):
+    def infer_all_frames(self, batch, keep_states: bool = False,
+                         keep_forces: bool = False):
         """Full-sequence inference (reference: infer_all_frames, §3.5).
-        Returns (obs_traj, force_costs, final_state[, states])."""
+        Returns (obs_traj, force_costs, final_state[, states][, forces]) —
+        `forces` is the per-step control-force pytree (leading time axis),
+        so what the controller actually did can be inspected/rendered."""
         batch = self._device_batch(batch)
+        key = (keep_states, keep_forces)
+        if not hasattr(self, "_infer_jits"):
+            self._infer_jits = {}
+        if key not in self._infer_jits:
+            self._infer_jits[key] = jax.jit(
+                lambda p, b: self.rollout(p, b, keep_states=keep_states,
+                                          keep_forces=keep_forces))
+        out = self._infer_jits[key](self.params, batch)
         if keep_states:
-            if not hasattr(self, "_rollout_states_jit"):
-                self._rollout_states_jit = jax.jit(
-                    lambda p, b: self.rollout(p, b, keep_states=True))
-            return self._rollout_states_jit(self.params, batch)
-        return self._rollout_jit(self.params, batch)
+            obs_traj, aux, final, states = out
+        else:
+            obs_traj, aux, final = out
+        result = [obs_traj, aux["cost"], final]
+        if keep_states:
+            result.append(states)
+        if keep_forces:
+            result.append(aux["force"])
+        return tuple(result)
 
     def save_state(self, directory: str) -> None:
         """Full resume checkpoint: params + optimizer state + step counter."""

@@ -212,3 +212,47 @@ def test_cosine_schedule_decays_over_stage(burgers_data):
             trainable_networks=("CFE",), sequence_class="chain",
             lr_schedule="cosine",
         )
+
+
+def test_infer_keep_forces_exposes_force_fields(burgers_data):
+    # VERDICT r1 item 5: inference must expose the actual control forces,
+    # not just their scalar costs, for every sequence class.
+    pde = BurgersPDE(CFG)
+    for seq, nets in [("chain", ("CFE",)),
+                      ("staggered", ("CFE", "OP2", "OP4")),
+                      ("refined", ("CFE", "OP2", "OP4"))]:
+        app = ControlTraining(
+            4, pde, dataset=burgers_data, batch_size=4,
+            trainable_networks=nets, sequence_class=seq,
+            obs_loss_frames=(4,),
+        ).prepare()
+        batch = burgers_data.sample(np.random.default_rng(0), 4)
+        obs_traj, costs, final, forces = app.infer_all_frames(
+            batch, keep_forces=True)
+        assert forces.shape == (4, 4, 16), (seq, forces.shape)  # (T, B, N)
+        # costs must be consistent with the exposed forces
+        recomputed = jax.vmap(pde.force_cost)(forces)
+        np.testing.assert_allclose(np.asarray(recomputed), np.asarray(costs),
+                                   rtol=1e-5, atol=1e-7)
+        # paper metric: mean |F| is finite and >= 0
+        mab = np.asarray(jax.vmap(pde.force_abs_mean)(forces))
+        assert mab.shape == (4, 4) and np.isfinite(mab).all()
+
+
+def test_refined_keep_states(burgers_data):
+    # keep_states previously raised NotImplementedError for refined.
+    pde = BurgersPDE(CFG)
+    app = ControlTraining(
+        4, pde, dataset=burgers_data, batch_size=4,
+        trainable_networks=("CFE", "OP2", "OP4"), sequence_class="refined",
+        obs_loss_frames=(4,),
+    ).prepare()
+    batch = burgers_data.sample(np.random.default_rng(0), 4)
+    obs_traj, costs, final, states, forces = app.infer_all_frames(
+        batch, keep_states=True, keep_forces=True)
+    assert states.shape == (4, 4, 16) and forces.shape == (4, 4, 16)
+    np.testing.assert_allclose(np.asarray(states[-1]), np.asarray(final),
+                               atol=1e-6)
+    # the stacked observation trajectory must equal observe(states)
+    np.testing.assert_allclose(np.asarray(obs_traj),
+                               np.asarray(states)[..., None], atol=1e-6)
