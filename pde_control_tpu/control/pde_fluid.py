@@ -43,6 +43,9 @@ class IncompressibleFluidPDE(PDE):
         control: str = "direct",          # 'direct' | 'buoyancy'
         force_mask: jnp.ndarray | None = None,  # (H, W), 1 = forcing allowed
         unet_levels: int = 4,
+        with_inflow: bool = False,  # batches carry per-sample 'inflow' —
+        # a continuous smoke source (reference Inflow FieldEffect [R]); the
+        # CFE sees it as an extra input channel.
         dtype=jnp.bfloat16,  # net *compute* dtype (params stay fp32) — the
         # MXU-native choice; physics stays fp32 throughout.
     ):
@@ -53,6 +56,7 @@ class IncompressibleFluidPDE(PDE):
         self.control = control
         self.force_mask = force_mask
         self.unet_levels = unet_levels
+        self.with_inflow = with_inflow
         self.dtype = dtype
 
     # solver ---------------------------------------------------------------
@@ -81,6 +85,8 @@ class IncompressibleFluidPDE(PDE):
             self.domain.fluid_mask[None], state.density.shape
         )
         chans = [state.density, vy_c, vx_c, target_obs[..., 0], mask]
+        if self.with_inflow:
+            chans.append(state.inflow)
         return jnp.stack(chans, axis=-1)
 
     def force_from_net(self, net_out: jnp.ndarray, state: FluidState) -> Staggered2D:
@@ -117,8 +123,15 @@ class IncompressibleFluidPDE(PDE):
             vel = Staggered2D(vy=batch["vy0"], vx=batch["vx0"])
         else:
             vel = Staggered2D.zeros(b, h, w)
-        return FluidState(velocity=vel, density=batch["obs"][:, 0, :, :, 0])
+        inflow = None
+        if self.with_inflow:
+            if "inflow" not in batch:
+                raise ValueError("with_inflow=True but batch has no 'inflow'")
+            inflow = batch["inflow"]
+        return FluidState(velocity=vel, density=batch["obs"][:, 0, :, :, 0],
+                          inflow=inflow)
 
     def example_state(self, batch_size: int) -> FluidState:
         h, w = self.domain.grid_shape
-        return FluidState.zeros(batch_size, h, w)
+        return FluidState.zeros(batch_size, h, w,
+                                with_inflow=self.with_inflow)

@@ -320,8 +320,13 @@ class ControlTraining:
         return jax.device_put(batch)
 
     def train(self, iterations: int, log_every: int = 50,
-              val_every: int | None = None) -> dict:
-        """Run the stage; returns the last metrics dict (floats)."""
+              val_every: int | None = None, render: bool = True) -> dict:
+        """Run the stage; returns the last metrics dict (floats).
+
+        When a logdir is set, every `log_every` steps the current rollout's
+        final frame is rendered next to its target (PNG under the logdir +
+        TensorBoard image) — the reference LearningApp's live field
+        summaries [R] (SURVEY §5, VERDICT r1 item 9)."""
         last = {}
         t0 = time.time()
         nxt = self._prefetch()
@@ -334,10 +339,31 @@ class ControlTraining:
                 last = {k: float(v) for k, v in metrics.items()}
                 last["steps_per_sec"] = (i + 1) / (time.time() - t0)
                 self.logger.log(self.step_count, last, prefix="train/")
+                if render:
+                    self._render_progress(cur)
             if val_every and (i + 1) % val_every == 0 and self.val_dataset:
                 v = self.evaluate()
                 self.logger.log(self.step_count, v, prefix="val/")
         return last
+
+    def _render_progress(self, batch) -> None:
+        """Render rollout-final vs target fields to the logdir (+TB)."""
+        if not self.logger.logdir or self.sequence_class == "op_supervised":
+            return
+        import os
+
+        from pde_control_tpu.utils.viz import save_comparison_png, tb_image
+
+        obs_traj, _, _ = self.infer_all_frames(batch)
+        pred = np.asarray(obs_traj[self.n - 1])[0, ..., 0]
+        tgt = np.asarray(batch["obs"])[0, self.n, ..., 0]
+        save_comparison_png(
+            {"rollout final": pred, "target": tgt},
+            os.path.join(self.logger.logdir,
+                         f"fields_{self.step_count:06d}.png"))
+        if pred.ndim == 2:
+            tb_image(self.logger, "rollout_final", pred, self.step_count)
+            tb_image(self.logger, "target", tgt, self.step_count)
 
     def evaluate(self, batch=None) -> dict:
         if batch is None:

@@ -136,6 +136,124 @@ def generate_smoke_dataset(
     return TrajectoryDataset(obs, vy0=zeros_vy, vx0=zeros_vx)
 
 
+def random_shape_densities(
+    key: jax.Array, batch: int, h: int, w: int,
+    size_range=(5.0, 10.0), margin: int = 12, smooth: float = 1.5,
+) -> jnp.ndarray:
+    """Random rasterized geometric shapes (B, H, W): circles and boxes with
+    a soft edge — the shape-transition task's actual content (`phi/geom/`
+    [R], VERDICT r1 item 4). geom shapes accept batched (B, 1, 1) params, so
+    one rasterize call draws the whole batch."""
+    from pde_control_tpu.geom import Box, Sphere, rasterize
+
+    margin = min(margin, h // 4, w // 4)
+    k_pos, k_size, k_kind, k_ar = jax.random.split(key, 4)
+    pos = jax.random.uniform(
+        k_pos, (batch, 2, 1, 1),
+        minval=float(margin), maxval=jnp.array([[h - margin], [w - margin]],
+                                               jnp.float32)[None, :, :, None],
+    )
+    cy, cx = pos[:, 0], pos[:, 1]
+    r = jax.random.uniform(k_size, (batch, 1, 1),
+                           minval=size_range[0], maxval=size_range[1])
+    aspect = jax.random.uniform(k_ar, (batch, 1, 1), minval=0.6, maxval=1.6)
+    circles = rasterize(Sphere(cy=cy, cx=cx, r=r), h, w, smooth=smooth)
+    boxes = rasterize(
+        Box(y0=cy - r, x0=cx - r * aspect, y1=cy + r, x1=cx + r * aspect),
+        h, w, smooth=smooth)
+    is_circle = jax.random.bernoulli(k_kind, 0.5, (batch, 1, 1))
+    return jnp.where(is_circle, circles, boxes)
+
+
+def random_inflow(
+    key: jax.Array, batch: int, h: int, w: int,
+    rate: float = 0.08, sigma: float = 2.0, y0: float = 4.0,
+) -> jnp.ndarray:
+    """Continuous smoke sources (B, H, W): a Gaussian emitter of strength
+    `rate` near the bottom wall at random x (reference: Inflow FieldEffect
+    at the smoke task's source [R])."""
+    xs = jax.random.uniform(key, (batch, 1, 1), minval=0.15 * w,
+                            maxval=0.85 * w)
+    yy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    r2 = (yy - y0) ** 2 + (xx - xs) ** 2
+    return rate * jnp.exp(-r2 / (2 * sigma**2))
+
+
+def generate_inflow_smoke_dataset(
+    domain: Domain2D,
+    cfg: FluidConfig,
+    num: int,
+    n_steps: int,
+    seed: int = 0,
+    control_amplitude: float = 0.6,
+    batch: int = 8,
+    warmup: int = 8,
+) -> TrajectoryDataset:
+    """The reference's actual smoke benchmark data (VERDICT r1 items 2-3):
+    an inflow-driven plume rising through obstacles, steered by a WITHHELD
+    random buoyancy-modulation field b(x) applied exactly as the buoyancy-
+    mode CFE applies control (vy += dt·b·ρ on y-faces). The target frame is
+    therefore NOT the natural evolution — zero force cannot reproduce it —
+    while staying reachable by the controller's force parameterization.
+
+    `warmup` natural (unforced) steps run before frame 0 so the recorded
+    window starts with a developed plume — indirect forcing is ∝ density,
+    so it has no authority over an empty domain."""
+    from pde_control_tpu.grids import centered_to_y_faces
+
+    h, w = domain.grid_shape
+
+    @jax.jit
+    def rollout(inflow, b_field):
+        state = FluidState(
+            velocity=Staggered2D.zeros(inflow.shape[0], h, w),
+            density=jnp.zeros_like(inflow),
+            inflow=inflow,
+        )
+
+        def natural(s, _):
+            return fluid_step(s, domain, cfg), None
+
+        if warmup:
+            state, _ = lax.scan(natural, state, None, length=warmup)
+
+        def body(s, _):
+            force = Staggered2D(
+                vy=centered_to_y_faces(b_field * s.density),
+                vx=jnp.zeros_like(s.velocity.vx),
+            )
+            s2 = fluid_step(s, domain, cfg, force=force)
+            return s2, s2.density
+
+        _, dens = lax.scan(body, state, None, length=n_steps)
+        # frame 0 = the post-warmup state; its velocity must ship with the
+        # data or the controller would start from the wrong initial state.
+        return (jnp.concatenate([state.density[None], dens], axis=0),
+                state.velocity)
+
+    key = jax.random.PRNGKey(seed)
+    chunks, inflows, vy0s, vx0s = [], [], [], []
+    remaining = num
+    while remaining > 0:
+        b = min(batch, remaining)
+        key, k1, k2 = jax.random.split(key, 3)
+        inflow = random_inflow(k1, b, h, w)
+        b_field = random_smooth_field_2d(k2, b, h, w,
+                                         amplitude=control_amplitude)
+        traj, vel0 = rollout(inflow, b_field)  # (T+1, b, H, W)
+        chunks.append(np.moveaxis(np.asarray(traj), 0, 1)[..., None])
+        inflows.append(np.asarray(inflow))
+        vy0s.append(np.asarray(vel0.vy))
+        vx0s.append(np.asarray(vel0.vx))
+        remaining -= b
+    obs = np.concatenate(chunks, axis=0)
+    return TrajectoryDataset(obs,
+                             vy0=np.concatenate(vy0s, axis=0),
+                             vx0=np.concatenate(vx0s, axis=0),
+                             inflow=np.concatenate(inflows, axis=0))
+
+
 def random_smooth_field_2d(
     key: jax.Array, batch: int, h: int, w: int, modes: int = 3,
     amplitude: float = 1.0,
@@ -161,12 +279,18 @@ def generate_forced_smoke_dataset(
     seed: int = 0,
     force_amplitude: float = 0.1,
     batch: int = 8,
+    init: str = "shapes",  # 'shapes' (geom-rasterized, config 3) | 'blobs'
 ) -> TrajectoryDataset:
-    """Shape-transition style trajectories: blobs pushed by random smooth
-    constant-in-time direct forces through the full solver (so endpoints
-    are reachable with moderate force — BASELINE config 3's data)."""
+    """Shape-transition style trajectories: rasterized geometric shapes (or
+    Gaussian blobs) pushed by random smooth constant-in-time direct forces
+    through the full solver. The forcing is WITHHELD from the controller, so
+    endpoint reconstruction genuinely requires control (the same
+    de-degeneracy device as the Burgers data) while staying reachable with
+    moderate force — BASELINE config 3/5 data."""
     from pde_control_tpu.grids import centered_to_x_faces, centered_to_y_faces
 
+    init_fn = {"shapes": random_shape_densities,
+               "blobs": random_smoke_blobs}[init]
     h, w = domain.grid_shape
 
     @jax.jit
@@ -191,7 +315,7 @@ def generate_forced_smoke_dataset(
     while remaining > 0:
         b = min(batch, remaining)
         key, k1, k2, k3 = jax.random.split(key, 4)
-        d0 = random_smoke_blobs(k1, b, h, w)
+        d0 = init_fn(k1, b, h, w)
         fy = random_smooth_field_2d(k2, b, h, w, amplitude=force_amplitude)
         fx = random_smooth_field_2d(k3, b, h, w, amplitude=force_amplitude)
         traj = rollout(d0, fy, fx)

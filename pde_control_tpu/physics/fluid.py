@@ -23,16 +23,22 @@ from pde_control_tpu.physics.poisson import solve_pressure
 
 @flax.struct.dataclass
 class FluidState:
-    """velocity: MAC grid; density: (B, H, W) passive marker (smoke)."""
+    """velocity: MAC grid; density: (B, H, W) passive marker (smoke);
+    inflow: optional (B, H, W) per-sample continuous smoke source rate —
+    PhiFlow's Inflow FieldEffect [R] carried as state so it rides the scan
+    (constant across steps; dt·inflow is added to density each step)."""
 
     velocity: Staggered2D
     density: jnp.ndarray
+    inflow: jnp.ndarray | None = None
 
     @classmethod
-    def zeros(cls, batch: int, h: int, w: int, dtype=jnp.float32) -> "FluidState":
+    def zeros(cls, batch: int, h: int, w: int, dtype=jnp.float32,
+              with_inflow: bool = False) -> "FluidState":
         return cls(
             velocity=Staggered2D.zeros(batch, h, w, dtype),
             density=jnp.zeros((batch, h, w), dtype),
+            inflow=jnp.zeros((batch, h, w), dtype) if with_inflow else None,
         )
 
 
@@ -91,10 +97,13 @@ def fluid_step(
         smoke task (buoyancy-only forcing [R], BASELINE config 4).
       inflow: optional (B, H, W) or (H, W) smoke source rate — PhiFlow's
         Inflow FieldEffect [R]; density += dt·inflow after advection.
+        Defaults to state.inflow when the state carries one.
     Returns: next FluidState (projected velocity, advected density).
     """
     dt, dx = cfg.dt, domain.dx
     adv = dict(dx=dx, mode=cfg.advection_mode, max_shift=cfg.max_shift)
+    if inflow is None:
+        inflow = state.inflow
 
     density = advect_centered(state.density, state.velocity, dt, **adv)
     if inflow is not None:
@@ -116,4 +125,4 @@ def fluid_step(
         v = Staggered2D(vy=v.vy + dt * buoy * d_at_y, vx=v.vx)
 
     v, _ = divergence_free(v, domain, cfg)
-    return FluidState(velocity=v, density=density)
+    return FluidState(velocity=v, density=density, inflow=state.inflow)

@@ -14,7 +14,7 @@ from typing import Any
 
 
 class MetricsLogger:
-    def __init__(self, logdir: str | None = None, use_tensorboard: bool = False):
+    def __init__(self, logdir: str | None = None, use_tensorboard: bool = True):
         self.logdir = logdir
         self._jsonl = None
         self._tb = None

@@ -61,6 +61,39 @@ def save_trajectory_strip(frames: np.ndarray, path: str, every: int = 1,
     plt.close(fig)
 
 
+def save_comparison_png(fields: dict[str, np.ndarray], path: str,
+                        cmap: str = "viridis") -> None:
+    """Render named fields side by side (2D images on a shared color scale,
+    or 1D curves overlaid on one axis) — the training-progress view."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    arrays = {k: np.asarray(v) for k, v in fields.items()}
+    ndim = next(iter(arrays.values())).ndim
+    if ndim == 1:
+        fig, ax = plt.subplots(figsize=(6, 3))
+        for name, arr in arrays.items():
+            ax.plot(arr, label=name)
+        ax.legend(fontsize=8)
+        ax.grid(True, alpha=0.3)
+    else:
+        n = len(arrays)
+        fig, axes = plt.subplots(1, n, figsize=(3 * n, 3.2))
+        axes = [axes] if n == 1 else list(axes)
+        vmin = min(a.min() for a in arrays.values())
+        vmax = max(a.max() for a in arrays.values())
+        for ax, (name, arr) in zip(axes, arrays.items()):
+            ax.imshow(arr, origin="lower", cmap=cmap, vmin=vmin, vmax=vmax)
+            ax.set_title(name, fontsize=9)
+            ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
 def tb_image(logger, tag: str, field: np.ndarray, step: int) -> None:
     """Log a 2D field image to the MetricsLogger's TensorBoard writer."""
     tb = getattr(logger, "_tb", None)
