@@ -61,7 +61,11 @@ def optimize_forces(
             nxt = pde.step(state, force)
             return nxt, pde.force_cost(force)
 
-        body_fn = jax.checkpoint(body) if remat else body
+        if remat:
+            from pde_control_tpu.control.sequences import _REMAT_POLICY
+
+            body = jax.checkpoint(body, policy=_REMAT_POLICY)
+        body_fn = body
         final, costs = lax.scan(body_fn, state0, forces)
         loss = obs_loss(pde.observe(final), target_obs)
         effort = jnp.mean(jnp.sum(costs, axis=0))

@@ -62,7 +62,8 @@ class ControlTraining:
         learning_rate: float = 1e-3,
         restore: dict[str, str] | str | None = None,
         seed: int = 0,
-        remat: bool = True,
+        remat=True,  # True (whole-body + saved pressure, fastest & smallest)
+        # | 'selective' (net-only) | False — measured in control/sequences.py.
         logdir: str | None = None,
         mesh=None,
         grad_clip: float | None = None,
@@ -178,6 +179,8 @@ class ControlTraining:
             self.opt_state = replicate(self.opt_state, self.mesh)
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
+        self._train_multi = jax.jit(self._train_multi_impl,
+                                    donate_argnums=(0, 1))
         self._eval = jax.jit(self._loss_fn)
         self._np_rng = np.random.default_rng(self.seed + 1)
         self.step_count = 0
@@ -188,7 +191,14 @@ class ControlTraining:
 
     def _cfe_step(self, params, state, target_obs, keep_force: bool = False):
         x = self.pde.cfe_inputs(state, target_obs)
-        out = self.cfe.apply({"params": params["CFE"]}, x)
+        apply = lambda p, x: self.cfe.apply({"params": p}, x)
+        if self.remat == "selective":
+            # Net-only remat: store physics residuals, recompute only the
+            # net. Measured slower than whole-body remat at 64² n=16 (see
+            # sequences.py) but kept for regimes where physics recompute
+            # dominates.
+            apply = jax.checkpoint(apply)
+        out = apply(params["CFE"], x)
         force = self.pde.force_from_net(out, state)
         nxt = self.pde.step(state, force)
         cost = self.pde.force_cost(force)
@@ -199,7 +209,10 @@ class ControlTraining:
     def _op_fn(self, params):
         def op(span, o_a, o_b):
             x = self.pde.op_inputs(o_a, o_b)
-            return self.ops[span].apply({"params": params[f"OP{span}"]}, x)
+            apply = lambda p, x: self.ops[span].apply({"params": p}, x)
+            if self.remat == "selective":
+                apply = jax.checkpoint(apply)
+            return apply(params[f"OP{span}"], x)
 
         return op
 
@@ -295,10 +308,33 @@ class ControlTraining:
         metrics["loss"] = loss
         return params, opt_state, metrics
 
+    def _train_multi_impl(self, params, opt_state, batches):
+        """K fused optimizer steps in ONE device program (batches have a
+        leading (K, B, …) axis). TPU-idiomatic: dispatching each step
+        separately costs a host↔device round trip per step (measured ~7 ms
+        over the axon tunnel — 20%+ of a 64² n=16 iteration); scanning the
+        optimizer loop on-device amortizes it to one."""
+
+        def body(carry, batch):
+            p, s = carry
+            p, s, metrics = self._train_step_impl(p, s, batch)
+            return (p, s), metrics
+
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state), batches)
+        return params, opt_state, metrics
+
     def _device_batch(self, batch):
         if self.mesh is not None:
             return shard_batch(batch, self.mesh)
         return batch
+
+    def _device_batch_multi(self, batches):
+        if self.mesh is not None:
+            from pde_control_tpu.parallel.mesh import shard_batch_multi
+
+            return shard_batch_multi(batches, self.mesh)
+        return jax.device_put(batches)
 
     def progress(self, batch=None):
         """One optimization step (reference: LearningApp.progress, §3.3)."""
@@ -311,6 +347,26 @@ class ControlTraining:
         self.step_count += 1
         return metrics
 
+    def progress_multi(self, batches):
+        """K fused optimization steps. `batches`: a batch pytree with a
+        leading (K, B, …) axis (stack K sampled batches). Returns the
+        stacked metrics of all K steps (leading K axis)."""
+        assert self._prepared, "call prepare() first"
+        batches = self._device_batch_multi(batches)
+        self.params, self.opt_state, metrics = self._train_multi(
+            self.params, self.opt_state, batches)
+        self.step_count += int(
+            next(iter(jax.tree_util.tree_leaves(batches))).shape[0])
+        return metrics
+
+    def sample_batches(self, k: int):
+        """Stack k sampled batches along a new leading axis (for
+        progress_multi)."""
+        samples = [self.dataset.sample(self._np_rng, self.batch_size)
+                   for _ in range(k)]
+        return jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *samples)
+
     def _prefetch(self):
         """Sample the next batch and start its (async) host→device copy —
         overlaps data transfer with the in-flight training step."""
@@ -320,13 +376,21 @@ class ControlTraining:
         return jax.device_put(batch)
 
     def train(self, iterations: int, log_every: int = 50,
-              val_every: int | None = None, render: bool = True) -> dict:
+              val_every: int | None = None, render: bool = True,
+              steps_per_call: int = 1) -> dict:
         """Run the stage; returns the last metrics dict (floats).
+
+        steps_per_call > 1 fuses that many optimizer steps into one device
+        program (progress_multi) — one host↔device round trip per call
+        instead of per step (the tunnel costs ~7 ms/dispatch, measured).
 
         When a logdir is set, every `log_every` steps the current rollout's
         final frame is rendered next to its target (PNG under the logdir +
         TensorBoard image) — the reference LearningApp's live field
         summaries [R] (SURVEY §5, VERDICT r1 item 9)."""
+        if steps_per_call > 1:
+            return self._train_fused(iterations, log_every, val_every,
+                                     render, steps_per_call)
         last = {}
         t0 = time.time()
         nxt = self._prefetch()
@@ -342,6 +406,40 @@ class ControlTraining:
                 if render:
                     self._render_progress(cur)
             if val_every and (i + 1) % val_every == 0 and self.val_dataset:
+                v = self.evaluate()
+                self.logger.log(self.step_count, v, prefix="val/")
+        return last
+
+    def _train_fused(self, iterations: int, log_every: int,
+                     val_every: int | None, render: bool, k: int) -> dict:
+        """Multi-step-per-dispatch training loop (see train)."""
+        last = {}
+        t0 = time.time()
+        done = 0
+        nxt = self._device_batch_multi(self.sample_batches(min(k, iterations)))
+        next_log = log_every
+        next_val = val_every or 0
+        while done < iterations:
+            cur = nxt
+            k_cur = int(next(iter(
+                jax.tree_util.tree_leaves(cur))).shape[0])
+            k_next = min(k, iterations - done - k_cur)
+            if k_next > 0:
+                nxt = self._device_batch_multi(self.sample_batches(k_next))
+            metrics = self.progress_multi(cur)
+            done += k_cur
+            if done >= next_log or done >= iterations:
+                while next_log <= done:
+                    next_log += log_every
+                last = {key: float(v[-1]) for key, v in metrics.items()}
+                last["steps_per_sec"] = done / (time.time() - t0)
+                self.logger.log(self.step_count, last, prefix="train/")
+                if render:
+                    self._render_progress(jax.tree_util.tree_map(
+                        lambda x: x[-1], cur))
+            if val_every and done >= next_val and self.val_dataset:
+                while next_val <= done:
+                    next_val += val_every
                 v = self.evaluate()
                 self.logger.log(self.step_count, v, prefix="val/")
         return last

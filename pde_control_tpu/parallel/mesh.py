@@ -49,6 +49,15 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def shard_batch_multi(batches, mesh: Mesh, axis: str = "data"):
+    """Place a stacked-batches pytree (leading (K, B, …) axes) with the
+    SECOND axis (the per-step batch) sharded over the mesh — the layout
+    progress_multi's scanned train steps expect."""
+    sharding = NamedSharding(mesh, P(None, axis))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding),
+                                  batches)
+
+
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params/opt state) across the mesh."""
     sharding = NamedSharding(mesh, P())

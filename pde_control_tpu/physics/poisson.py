@@ -23,6 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.ad_checkpoint import checkpoint_name
 
 from pde_control_tpu.grids import Domain2D
 
@@ -239,4 +240,10 @@ def solve_pressure(
                 interpret=interpret,
             )
 
-    return lax.custom_linear_solve(matvec, b, solve=solve, symmetric=True)
+    p = lax.custom_linear_solve(matvec, b, solve=solve, symmetric=True)
+    # Name the solution for remat policies (save_only_these_names('pressure')
+    # in control/sequences.py). Measured effect at 64² n=16: none — p is
+    # consumed only linearly downstream (v - ∇p), so XLA already dead-code-
+    # eliminates the recomputed forward solve from remat backward sweeps.
+    # Kept as insurance for nonlinear consumers of p (e.g. losses on p).
+    return checkpoint_name(p, "pressure")

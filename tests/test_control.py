@@ -256,3 +256,42 @@ def test_refined_keep_states(burgers_data):
     # the stacked observation trajectory must equal observe(states)
     np.testing.assert_allclose(np.asarray(obs_traj),
                                np.asarray(states)[..., None], atol=1e-6)
+
+
+def test_progress_multi_matches_single_steps(burgers_data):
+    # K fused steps in one device program == K separate steps, exactly the
+    # same math (dispatch amortization must not change results).
+    pde = BurgersPDE(CFG)
+
+    def make():
+        return ControlTraining(
+            2, pde, dataset=burgers_data, batch_size=4,
+            trainable_networks=("CFE",), sequence_class="chain",
+            obs_loss_frames=(1, 2), seed=7,
+        ).prepare()
+
+    a, b = make(), make()
+    rng = np.random.default_rng(5)
+    batches = [burgers_data.sample(rng, 4) for _ in range(4)]
+    for bt in batches:
+        a.progress(bt)
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+    metrics = b.progress_multi(stacked)
+    assert metrics["loss"].shape == (4,)
+    assert a.step_count == b.step_count == 4
+    for x, y in zip(jax.tree_util.tree_leaves(a.params),
+                    jax.tree_util.tree_leaves(b.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_train_fused_loop(burgers_data, tmp_path):
+    pde = BurgersPDE(CFG)
+    app = ControlTraining(
+        2, pde, dataset=burgers_data, batch_size=4,
+        trainable_networks=("CFE",), sequence_class="chain",
+        obs_loss_frames=(1, 2), logdir=str(tmp_path / "logs"),
+    ).prepare()
+    last = app.train(10, log_every=4, steps_per_call=4)
+    assert app.step_count == 10
+    assert np.isfinite(last["loss"]) and last["steps_per_sec"] > 0
