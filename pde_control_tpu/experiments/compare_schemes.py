@@ -1,0 +1,181 @@
+"""Execution-scheme comparison — the paper's core result table (VERDICT r1
+item 8): CFE chain (greedy) vs staggered vs prediction-refinement vs the
+classical adjoint baseline, on Burgers (N=32, n=32) and 2D smoke (64²,
+n=16), reporting final-state MSE and mean |F| per scheme.
+
+Protocol (mirrors the paper's: same data, same supervised pretraining, the
+e2e stage differs only in sequence_class):
+  1. generate train/val datasets (withheld-forcing, non-degenerate);
+  2. shared CFE supervised stage + shared per-level OP supervised stages;
+  3. per scheme: end-to-end stage restoring the shared checkpoints;
+  4. eval on ONE fixed val batch: controlled final MSE, mean |F|,
+     zero-force baseline MSE;
+  5. adjoint: per-trajectory direct force optimization on the same batch
+     (control/adjoint.py — no networks, the paper's comparator).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+import jax
+
+from pde_control_tpu.control.adjoint import optimize_forces
+from pde_control_tpu.control.training import ControlTraining
+from pde_control_tpu.experiments.curriculum import (
+    evaluate_control,
+    op_spans,
+    zero_force_baseline,
+)
+
+SCHEMES = ("chain_final", "staggered", "refined")
+
+
+def _eval_batch(val_dataset):
+    rng = np.random.default_rng(1234)  # same draw as evaluate_control
+    return val_dataset.sample(rng, min(len(val_dataset), 32))
+
+
+def run_comparison(
+    pde,
+    n: int,
+    dataset,
+    val_dataset,
+    workdir: str,
+    batch_size: int = 8,
+    iterations: int = 500,
+    force_reg: float = 1e-3,
+    adjoint_iterations: int = 500,
+    adjoint_lr: float = 0.05,
+    grad_clip: float | None = None,
+    seed: int = 0,
+) -> dict:
+    os.makedirs(workdir, exist_ok=True)
+    common = dict(pde=pde, dataset=dataset, val_dataset=val_dataset,
+                  batch_size=batch_size, force_reg=force_reg,
+                  grad_clip=grad_clip, seed=seed)
+    results: dict = {}
+
+    # --- shared supervised stages -------------------------------------------
+    cfe_dir = os.path.join(workdir, "ckpt_cfe")
+    app = ControlTraining(
+        n, trainable_networks=("CFE",), sequence_class="chain",
+        obs_loss_frames=tuple(range(1, n + 1)),
+        logdir=os.path.join(workdir, "logs_cfe"), **common,
+    ).prepare()
+    app.train(iterations)
+    app.save(cfe_dir)
+
+    ops_dir = os.path.join(workdir, "ckpt_ops")
+    for span in sorted(op_spans(n)):
+        app = ControlTraining(
+            n, trainable_networks=(f"OP{span}",),
+            sequence_class="op_supervised",
+            restore=ops_dir if os.path.isdir(ops_dir) else None,
+            logdir=os.path.join(workdir, f"logs_op{span}"), **common,
+        ).prepare()
+        app.train(iterations)
+        app.save(ops_dir)
+
+    # --- per-scheme end-to-end ------------------------------------------------
+    batch = _eval_batch(val_dataset)
+    for scheme in SCHEMES:
+        trainable = ("CFE",)
+        restore = {"CFE": cfe_dir}
+        if scheme != "chain_final":
+            trainable += tuple(f"OP{s}" for s in op_spans(n))
+            restore.update({f"OP{s}": ops_dir for s in op_spans(n)})
+        app = ControlTraining(
+            n, trainable_networks=trainable, sequence_class=scheme,
+            obs_loss_frames=(n,), restore=restore, learning_rate=3e-4,
+            logdir=os.path.join(workdir, f"logs_e2e_{scheme}"), **common,
+        ).prepare()
+        app.train(iterations)
+        app.save(os.path.join(workdir, f"ckpt_{scheme}"))
+        results[scheme] = evaluate_control(app, val_dataset, n)
+
+    # --- adjoint baseline (direct optimization, no networks) ------------------
+    # Note: the adjoint optimizes the PDE's FULL force pytree — for the
+    # indirect smoke task that is a direct staggered force, i.e. strictly
+    # more authority than the buoyancy-only CFE. Report it as the
+    # upper-bound comparator the paper uses, not an equal-footing method.
+    state0 = jax.jit(pde.initial_state)(batch)
+    import jax.numpy as jnp
+
+    target = jnp.asarray(batch["obs"][:, n])
+    forces, hist = optimize_forces(
+        pde, state0, target, n=n, iterations=adjoint_iterations,
+        learning_rate=adjoint_lr, force_reg=force_reg)
+    abs_means = jax.vmap(pde.force_abs_mean)(forces)
+    results["adjoint"] = {
+        "final_state_mse": float(np.asarray(hist["obs_loss"])[-1]),
+        "mean_abs_force": float(np.mean(np.asarray(abs_means))),
+        "mean_force_cost": float(np.asarray(hist["force_cost"])[-1]),
+        "iterations": adjoint_iterations,
+    }
+    # zero-force context (identical batch → comparable across schemes)
+    app_any = ControlTraining(
+        n, trainable_networks=("CFE",), sequence_class="chain_final",
+        restore={"CFE": cfe_dir}, **common).prepare()
+    natural = zero_force_baseline(app_any, batch)
+    results["zero_force"] = {
+        "final_state_mse": float(np.mean(
+            (natural - np.asarray(batch["obs"][:, n])) ** 2)),
+    }
+
+    with open(os.path.join(workdir, "comparison.json"), "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    return results
+
+
+def compare_burgers(workdir: str, n: int = 32, iterations: int = 1000,
+                    num_train: int = 1024, num_val: int = 128,
+                    batch_size: int = 32, smoke_test: bool = False) -> dict:
+    from pde_control_tpu.control.pde_burgers import BurgersPDE
+    from pde_control_tpu.data.generate import generate_burgers_dataset
+    from pde_control_tpu.physics.burgers import BurgersConfig
+
+    from pde_control_tpu.experiments.burgers import BURGERS_CFG
+
+    if smoke_test:
+        n, iterations, num_train, num_val, batch_size = 4, 20, 32, 16, 8
+    cfg = BURGERS_CFG
+    train = generate_burgers_dataset(cfg, num_train, n, seed=0,
+                                     force_amplitude=0.5)
+    val = generate_burgers_dataset(cfg, num_val, n, seed=999,
+                                   force_amplitude=0.5)
+    return run_comparison(BurgersPDE(cfg), n, train, val, workdir,
+                          batch_size=batch_size, iterations=iterations,
+                          force_reg=1e-4, adjoint_lr=0.1)
+
+
+def compare_smoke(workdir: str, size: int = 64, n: int = 16,
+                  iterations: int = 500, num_train: int = 256,
+                  num_val: int = 32, batch_size: int = 8,
+                  smoke_test: bool = False) -> dict:
+    import jax.numpy as jnp
+
+    from pde_control_tpu.control.pde_fluid import IncompressibleFluidPDE
+    from pde_control_tpu.data.generate import generate_inflow_smoke_dataset
+    from pde_control_tpu.experiments.fluid2d import default_obstacles
+    from pde_control_tpu.grids import Domain2D
+    from pde_control_tpu.physics.fluid import FluidConfig
+
+    if smoke_test:
+        size, n, iterations, num_train, num_val, batch_size = 16, 4, 10, 16, 8, 4
+    obstacles = default_obstacles(size, size)
+    domain = Domain2D.create(size, size, obstacle_mask=jnp.asarray(obstacles))
+    cfg = FluidConfig(dt=1.0, buoyancy=0.08, pressure_tol=1e-4,
+                      pressure_maxiter=200)
+    train = generate_inflow_smoke_dataset(domain, cfg, num_train, n, seed=0)
+    val = generate_inflow_smoke_dataset(domain, cfg, num_val, n, seed=999)
+    pde = IncompressibleFluidPDE(domain, cfg, control="buoyancy",
+                                 with_inflow=True,
+                                 unet_levels=3 if size >= 32 else 2)
+    return run_comparison(pde, n, train, val, workdir,
+                          batch_size=batch_size, iterations=iterations,
+                          force_reg=3e-3, adjoint_lr=0.5,
+                          adjoint_iterations=300)

@@ -21,7 +21,8 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("name", choices=[
         "burgers_chain", "burgers_hierarchical", "shape_transition",
-        "smoke_indirect", "natural_flow_128", "burgers_adjoint"])
+        "smoke_indirect", "natural_flow_128", "burgers_adjoint",
+        "compare_burgers", "compare_smoke"])
     p.add_argument("--workdir", default=None)
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--smoke-test", action="store_true")
@@ -63,6 +64,16 @@ def main() -> None:
             "initial_obs_mse": float(np.asarray(hist["obs_loss"])[0]),
             "mean_force_cost": float(np.asarray(hist["force_cost"])[-1]),
         }
+    elif args.name == "compare_burgers":
+        from pde_control_tpu.experiments.compare_schemes import compare_burgers
+
+        result = compare_burgers(workdir, smoke_test=st,
+                                 **({"iterations": it} if it else {}))
+    elif args.name == "compare_smoke":
+        from pde_control_tpu.experiments.compare_schemes import compare_smoke
+
+        result = compare_smoke(workdir, smoke_test=st,
+                               **({"iterations": it} if it else {}))
     elif args.name == "burgers_chain":
         result = burgers.run_chain_supervised(
             workdir, n=4 if st else 32,
