@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from pde_control_tpu.control.pde_fluid import IncompressibleFluidPDE
 from pde_control_tpu.control.training import ControlTraining
-from pde_control_tpu.data.generate import generate_smoke_dataset
+from pde_control_tpu.data.generate import generate_inflow_smoke_dataset
 from pde_control_tpu.experiments.curriculum import (
     CurriculumConfig,
     run_curriculum,
@@ -31,13 +31,15 @@ obstacle = rasterize(Box(8, 3, 9, 11), SIZE, SIZE)
 domain = Domain2D.create(SIZE, SIZE, obstacle_mask=obstacle)
 cfg = FluidConfig(dt=1.0, buoyancy=0.08)
 
-# 2. Ground-truth plume trajectories (targets come from frame N).
-train = generate_smoke_dataset(domain, cfg, num=24, n_steps=N, seed=0)
-val = generate_smoke_dataset(domain, cfg, num=8, n_steps=N, seed=9)
+# 2. Inflow-driven plume trajectories steered by WITHHELD random forcing —
+#    the target at frame N is NOT the natural evolution, so the controller
+#    has real work to do (eval prints the zero-force baseline for proof).
+train = generate_inflow_smoke_dataset(domain, cfg, num=24, n_steps=N, seed=0)
+val = generate_inflow_smoke_dataset(domain, cfg, num=8, n_steps=N, seed=9)
 
 # 3. Indirect control: the CFE may only modulate buoyancy (∝ smoke density).
 pde = IncompressibleFluidPDE(domain, cfg, control="buoyancy", unet_levels=2,
-                             dtype=jnp.float32)
+                             with_inflow=True, dtype=jnp.float32)
 
 # 4. Staged curriculum: CFE supervised → OP2/OP4 supervised → end-to-end.
 results = run_curriculum(
