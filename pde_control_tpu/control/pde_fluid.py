@@ -128,8 +128,12 @@ class IncompressibleFluidPDE(PDE):
             if "inflow" not in batch:
                 raise ValueError("with_inflow=True but batch has no 'inflow'")
             inflow = batch["inflow"]
+        # Seeding a zero pressure makes every subsequent step warm-start its
+        # projection from the previous step's solution (fluid.FluidState).
+        pressure = (jnp.zeros((b, h, w), batch["obs"].dtype)
+                    if self.cfg.warm_start_pressure else None)
         return FluidState(velocity=vel, density=batch["obs"][:, 0, :, :, 0],
-                          inflow=inflow)
+                          inflow=inflow, pressure=pressure)
 
     def example_state(self, batch_size: int) -> FluidState:
         h, w = self.domain.grid_shape

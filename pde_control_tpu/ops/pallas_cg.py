@@ -49,13 +49,13 @@ def pallas_solve_fits(batch: int, h: int, w: int) -> bool:
     padded_w = max(w, 128)
     per_field = h * padded_w * 4  # one batch element per grid program
     basis = (h * max(h, 128) + w * max(w, 128)) * 4
-    return 12 * per_field + 2 * basis < _VMEM_BUDGET_BYTES
+    return 13 * per_field + 2 * basis < _VMEM_BUDGET_BYTES
 
 
-def _pcg_kernel(div_ref, accy_ref, accx_ref, fluid_ref, qy_ref, qyt_ref,
-                qx_ref, qxt_ref, invlam_ref, out_ref,
+def _pcg_kernel(div_ref, x0_ref, accy_ref, accx_ref, fluid_ref, qy_ref,
+                qyt_ref, qx_ref, qxt_ref, invlam_ref, out_ref,
                 *, dx: float, closed: bool, tol: float, maxiter: int,
-                precond: bool):
+                precond: bool, warm: bool):
     div = div_ref[0]          # (H, W)
     acc_y = accy_ref[...]     # (H+1, W)
     acc_x = accx_ref[...]     # (H, W+1)
@@ -117,8 +117,16 @@ def _pcg_kernel(div_ref, accy_ref, accx_ref, fluid_ref, qy_ref, qyt_ref,
     b = jnp.where(fluid > 0, -div, 0.0)
     b = project(b)
 
-    x = jnp.zeros_like(b)
-    r = b  # x0 = 0 → r = b
+    if warm:
+        # Warm start from the previous step's pressure (same projection /
+        # masking discipline as the rhs, so iterates stay in the compatible
+        # subspace). `warm` is static: the cold path compiles to the old
+        # kernel exactly (no wasted apply_a on a known-zero x).
+        x = project(jnp.where(fluid > 0, x0_ref[0], 0.0))
+        r = b - apply_a(x)
+    else:
+        x = jnp.zeros_like(b)
+        r = b  # x0 = 0 → r = b
     z = apply_m(r)
     d = z
     rz = jnp.sum(r * z)
@@ -163,6 +171,7 @@ def pallas_pressure_solve(
     acc_y: jnp.ndarray,
     acc_x: jnp.ndarray,
     fluid: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
     dx: float = 1.0,
     closed: bool = True,
     tol: float = 1e-5,
@@ -175,6 +184,7 @@ def pallas_pressure_solve(
     Args:
       div: (B, H, W) velocity divergence.
       acc_y/acc_x/fluid: domain face/cell masks (unbatched geometry).
+      x0: optional (B, H, W) warm-start guess (previous step's pressure).
       precond: apply the spectral (obstacle-free exact inverse)
         preconditioner — DCT-II for closed walls, DST-I for open.
     Returns: (B, H, W) pressure (zero fluid-mean when closed).
@@ -194,17 +204,20 @@ def pallas_pressure_solve(
         qy, qx = _dst_matrix(h), _dst_matrix(w)
         inv_lam = _inv_dirichlet_eigenvalues(h, w, dx)
 
+    warm = x0 is not None
     kernel = functools.partial(_pcg_kernel, dx=dx, closed=closed, tol=tol,
-                               maxiter=maxiter, precond=precond)
+                               maxiter=maxiter, precond=precond, warm=warm)
     geom_spec = lambda shape: pl.BlockSpec(
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    batch_spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(b,),
         out_shape=jax.ShapeDtypeStruct(div.shape, div.dtype),
         in_specs=[
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            batch_spec,
+            batch_spec,  # x0 (zeros placeholder when cold — kernel skips it)
             geom_spec((h + 1, w)),
             geom_spec((h, w + 1)),
             geom_spec((h, w)),
@@ -217,5 +230,6 @@ def pallas_pressure_solve(
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(div, acc_y, acc_x, fluid, jnp.asarray(qy), jnp.asarray(qy.T),
+    )(div, x0 if warm else jnp.zeros_like(div), acc_y, acc_x, fluid,
+      jnp.asarray(qy), jnp.asarray(qy.T),
       jnp.asarray(qx), jnp.asarray(qx.T), jnp.asarray(inv_lam))

@@ -26,11 +26,16 @@ class FluidState:
     """velocity: MAC grid; density: (B, H, W) passive marker (smoke);
     inflow: optional (B, H, W) per-sample continuous smoke source rate —
     PhiFlow's Inflow FieldEffect [R] carried as state so it rides the scan
-    (constant across steps; dt·inflow is added to density each step)."""
+    (constant across steps; dt·inflow is added to density each step);
+    pressure: optional (B, H, W) previous step's pressure, carried to
+    warm-start the next projection's CG (FluidConfig.warm_start_pressure —
+    consecutive rollout pressures are close, so x0=prev p cuts iteration
+    counts; stop_gradient'd at use, so AD is unaffected)."""
 
     velocity: Staggered2D
     density: jnp.ndarray
     inflow: jnp.ndarray | None = None
+    pressure: jnp.ndarray | None = None
 
     @classmethod
     def zeros(cls, batch: int, h: int, w: int, dtype=jnp.float32,
@@ -57,21 +62,27 @@ class FluidConfig:
     # 'spectral' (exact DCT solve, obstacle-free domains only) |
     # 'pcg' (spectrally-preconditioned CG) — see poisson.solve_pressure.
     pressure_backend: str = "auto"
+    # Seed rollouts with a zero pressure field (PDE.initial_state) so each
+    # step's CG warm-starts from the previous step's solution. Same solution
+    # to `pressure_tol`, fewer iterations; no effect on exact spectral path.
+    warm_start_pressure: bool = False
 
 
 def divergence_free(
-    v: Staggered2D, domain: Domain2D, cfg: FluidConfig
+    v: Staggered2D, domain: Domain2D, cfg: FluidConfig,
+    x0: jnp.ndarray | None = None,
 ) -> tuple[Staggered2D, jnp.ndarray]:
     """Project velocity onto its divergence-free part (Chorin projection).
 
     Replaces `phi.physics.fluid.divergence_free` [R]. Returns (v', p) with
-    div v' ≈ 0 on fluid cells and v'·n = 0 on blocked faces.
+    div v' ≈ 0 on fluid cells and v'·n = 0 on blocked faces. `x0` optionally
+    warm-starts the iterative pressure solve (previous step's p).
     """
     v = domain.mask_velocity(v)
     div = v.divergence(domain.dx)
     p = solve_pressure(div, domain, tol=cfg.pressure_tol,
                        maxiter=cfg.pressure_maxiter,
-                       backend=cfg.pressure_backend)
+                       backend=cfg.pressure_backend, x0=x0)
     v = v - domain.pressure_gradient(p)
     return v, p
 
@@ -124,5 +135,6 @@ def fluid_step(
         d_at_y = centered_to_y_faces(density)
         v = Staggered2D(vy=v.vy + dt * buoy * d_at_y, vx=v.vx)
 
-    v, _ = divergence_free(v, domain, cfg)
-    return FluidState(velocity=v, density=density, inflow=state.inflow)
+    v, p = divergence_free(v, domain, cfg, x0=state.pressure)
+    return FluidState(velocity=v, density=density, inflow=state.inflow,
+                      pressure=p if state.pressure is not None else None)

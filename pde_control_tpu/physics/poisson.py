@@ -134,6 +134,7 @@ def solve_pressure(
     tol: float = 1e-5,
     maxiter: int = 500,
     backend: str = "auto",
+    x0: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Solve div(acc·grad p) = div_v for p. div: (B, H, W) → p: (B, H, W).
 
@@ -145,11 +146,22 @@ def solve_pressure(
     solve when there are no obstacles, or spectral-preconditioned CG when
     there are; open domains get the fused Pallas CG on TPU / pure-JAX CG.
     Explicit values: 'jax', 'pallas', 'spectral', 'pcg'.
+
+    x0 optionally warm-starts the iterative paths (previous rollout step's
+    pressure). It is stop_gradient'd: the converged solution is independent
+    of the starting point (to tol), so no AD path may flow through it —
+    and custom_linear_solve's transpose machinery must see it as a
+    constant, like the geometry masks. The VJP's cotangent solve reuses
+    the same x0 (a worse guess than for the primal, but CG converges from
+    any start); the exact spectral paths ignore it.
     """
     fluid = lax.stop_gradient(domain.fluid_mask)
     geom = jax.tree_util.tree_map(lax.stop_gradient, domain)
     chosen = _pick_backend(backend, div, domain)
     interpret = jax.default_backend() != "tpu"
+    x0 = None if x0 is None else lax.stop_gradient(x0)
+    if chosen in ("spectral",):
+        x0 = None  # exact solve — a starting guess is meaningless
 
     b = jnp.where(fluid > 0, -div, 0.0)
     if domain.closed:
@@ -171,12 +183,15 @@ def solve_pressure(
         if chosen == "spectral":
             from pde_control_tpu.ops.spectral import spectral_neumann_solve
 
-            def solve(mv, rhs):
-                # Exact: the closed no-obstacle operator is diagonal in the
-                # DCT-II basis. Projection inside the solve — the backward
-                # cotangent carries a nullspace component (see below).
-                return project(
-                    spectral_neumann_solve(project(rhs), dx=domain.dx))
+            def make_solve(guess):
+                def solve(mv, rhs):
+                    # Exact: the closed no-obstacle operator is diagonal in
+                    # the DCT-II basis. Projection inside the solve — the
+                    # backward cotangent carries a nullspace component.
+                    return project(
+                        spectral_neumann_solve(project(rhs), dx=domain.dx))
+
+                return solve
 
         elif chosen == "pcg":
             from pde_control_tpu.ops.spectral import spectral_neumann_solve
@@ -187,19 +202,27 @@ def solve_pressure(
                 return project(spectral_neumann_solve(project(r),
                                                       dx=domain.dx))
 
-            def solve(mv, rhs):
-                return cg(mv, project(rhs), tol=tol, maxiter=maxiter,
-                          precond=precond)
+            def make_solve(guess):
+                def solve(mv, rhs):
+                    return cg(mv, project(rhs), tol=tol, maxiter=maxiter,
+                              precond=precond,
+                              x0=None if guess is None else project(guess))
+
+                return solve
 
         else:
 
-            def solve(mv, rhs):
-                # Project the rhs INSIDE the solve: the backward pass feeds
-                # the loss cotangent through this same function, and that
-                # cotangent generally has a nullspace component — without
-                # projection CG's first step explodes and the pseudo-inverse
-                # VJP is lost.
-                return cg(mv, project(rhs), tol=tol, maxiter=maxiter)
+            def make_solve(guess):
+                def solve(mv, rhs):
+                    # Project the rhs INSIDE the solve: the backward pass
+                    # feeds the loss cotangent through this same function,
+                    # and that cotangent generally has a nullspace component
+                    # — without projection CG's first step explodes and the
+                    # pseudo-inverse VJP is lost.
+                    return cg(mv, project(rhs), tol=tol, maxiter=maxiter,
+                              x0=None if guess is None else project(guess))
+
+                return solve
 
     else:
 
@@ -209,38 +232,56 @@ def solve_pressure(
         if chosen == "spectral":
             from pde_control_tpu.ops.spectral import spectral_dirichlet_solve
 
-            def solve(mv, rhs):
-                # Exact: the open no-obstacle operator is diagonal in the
-                # DST-I basis (nonsingular — no projection needed).
-                return spectral_dirichlet_solve(rhs, dx=domain.dx)
+            def make_solve(guess):
+                def solve(mv, rhs):
+                    # Exact: the open no-obstacle operator is diagonal in
+                    # the DST-I basis (nonsingular — no projection needed).
+                    return spectral_dirichlet_solve(rhs, dx=domain.dx)
+
+                return solve
 
         elif chosen == "pcg":
             from pde_control_tpu.ops.spectral import spectral_dirichlet_solve
 
-            def solve(mv, rhs):
-                return cg(mv, rhs, tol=tol, maxiter=maxiter,
-                          precond=lambda r: spectral_dirichlet_solve(
-                              r, dx=domain.dx))
+            def make_solve(guess):
+                def solve(mv, rhs):
+                    return cg(mv, rhs, tol=tol, maxiter=maxiter, x0=guess,
+                              precond=lambda r: spectral_dirichlet_solve(
+                                  r, dx=domain.dx))
+
+                return solve
 
         else:
 
-            def solve(mv, rhs):
-                return cg(mv, rhs, tol=tol, maxiter=maxiter)
+            def make_solve(guess):
+                def solve(mv, rhs):
+                    return cg(mv, rhs, tol=tol, maxiter=maxiter, x0=guess)
+
+                return solve
 
     if chosen == "pallas":
         from pde_control_tpu.ops.pallas_cg import pallas_pressure_solve
 
-        def solve(_mv, rhs):  # noqa: F811 — deliberate override
-            # The kernel rebuilds b = project(mask(-div)); feeding -rhs makes
-            # its b equal rhs (masking/projection are idempotent, and the
-            # backward cotangent needs the projection anyway).
-            return pallas_pressure_solve(
-                -rhs, geom.acc_y, geom.acc_x, fluid,
-                dx=domain.dx, closed=domain.closed, tol=tol, maxiter=maxiter,
-                interpret=interpret,
-            )
+        def make_solve(guess):  # noqa: F811 — deliberate override
+            def solve(_mv, rhs):
+                # The kernel rebuilds b = project(mask(-div)); feeding -rhs
+                # makes its b equal rhs (masking/projection are idempotent,
+                # and the backward cotangent needs the projection anyway).
+                return pallas_pressure_solve(
+                    -rhs, geom.acc_y, geom.acc_x, fluid, x0=guess,
+                    dx=domain.dx, closed=domain.closed, tol=tol,
+                    maxiter=maxiter, interpret=interpret,
+                )
 
-    p = lax.custom_linear_solve(matvec, b, solve=solve, symmetric=True)
+            return solve
+
+    # Warm start applies to the primal solve only; the transpose (cotangent)
+    # solve starts cold — its rhs has an unrelated scale, and a far-off x0
+    # costs fp32 accuracy. With symmetric=True the transpose operator is the
+    # same matvec, so the cold solve is exactly the round-1 backward path.
+    p = lax.custom_linear_solve(
+        matvec, b, solve=make_solve(x0), symmetric=True,
+        transpose_solve=make_solve(None) if x0 is not None else None)
     # Name the solution for remat policies (save_only_these_names('pressure')
     # in control/sequences.py). Measured effect at 64² n=16: none — p is
     # consumed only linearly downstream (v - ∇p), so XLA already dead-code-
