@@ -116,6 +116,15 @@ class ControlTraining:
     def prepare(self) -> "ControlTraining":
         """Init nets + optimizer; restore checkpoints. (Reference: graph
         build + Session init + Saver restore, §3.2.)"""
+        # Keep trajectory data device-resident: sampling becomes an
+        # on-device gather, so the train loop never streams batch arrays
+        # over the (slow) host→device link (data/scene.py::DeviceDataset).
+        from pde_control_tpu.data.scene import DeviceDataset
+
+        if self.dataset is not None:
+            self.dataset = DeviceDataset.wrap(self.dataset)
+        if self.val_dataset is not None:
+            self.val_dataset = DeviceDataset.wrap(self.val_dataset)
         pde = self.pde
         rng = jax.random.PRNGKey(self.seed)
         self.cfe = pde.build_cfe()
@@ -362,6 +371,9 @@ class ControlTraining:
     def sample_batches(self, k: int):
         """Stack k sampled batches along a new leading axis (for
         progress_multi)."""
+        if hasattr(self.dataset, "sample_stacked"):
+            return self.dataset.sample_stacked(self._np_rng, k,
+                                               self.batch_size)
         samples = [self.dataset.sample(self._np_rng, self.batch_size)
                    for _ in range(k)]
         return jax.tree_util.tree_map(

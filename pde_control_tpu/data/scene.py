@@ -106,6 +106,64 @@ class TrajectoryDataset:
         )
 
 
+class DeviceDataset:
+    """Device-resident trajectory store: arrays are uploaded to HBM once and
+    each `sample` is a jitted on-device gather, so the steady-state training
+    loop moves only a B-int index vector over the host→device link. On the
+    axon tunnel (~25 MB/s measured) per-batch array feeding costs ~100 ms at
+    64² n=16 batch 8 — this removes it entirely. Same `sample(rng, B)`
+    contract (and identical draws for a given rng) as TrajectoryDataset.
+    """
+
+    _MAX_BYTES = 1 << 30  # leave HBM for activations; fall back above this
+
+    def __init__(self, obs, **extras):
+        import jax.numpy as jnp
+
+        self.obs = jnp.asarray(obs)
+        self.extras = {k: jnp.asarray(v) for k, v in extras.items()}
+        self._arrays = {"obs": self.obs, **self.extras}
+
+    @classmethod
+    def wrap(cls, ds):
+        """DeviceDataset view of a TrajectoryDataset (or pass-through if it
+        already is one / is too big to sensibly keep device-resident)."""
+        if isinstance(ds, cls) or not isinstance(ds, TrajectoryDataset):
+            return ds
+        total = ds.obs.nbytes + sum(v.nbytes for v in ds.extras.values())
+        if total > cls._MAX_BYTES:
+            return ds
+        return cls(ds.obs, **ds.extras)
+
+    def __len__(self) -> int:
+        return int(self.obs.shape[0])
+
+    @staticmethod
+    def _gather(arrays: dict, idx):
+        import jax
+
+        if not hasattr(DeviceDataset, "_gather_jit"):
+            import jax.numpy as jnp
+
+            DeviceDataset._gather_jit = jax.jit(
+                lambda arrs, i: {k: jnp.take(v, i, axis=0)
+                                 for k, v in arrs.items()})
+        return DeviceDataset._gather_jit(arrays, idx)
+
+    def sample(self, rng: np.random.Generator, batch_size: int) -> dict:
+        idx = rng.integers(0, len(self), size=batch_size)
+        return self._gather(self._arrays, idx)
+
+    def sample_stacked(self, rng: np.random.Generator, k: int,
+                       batch_size: int) -> dict:
+        """k stacked batches (leading (k, B) axes) in ONE device gather —
+        feeds ControlTraining.progress_multi without k separate dispatches."""
+        idx = rng.integers(0, len(self), size=k * batch_size)
+        flat = self._gather(self._arrays, idx)
+        return {name: v.reshape((k, batch_size) + v.shape[1:])
+                for name, v in flat.items()}
+
+
 class SceneDataset:
     """Range-based reader over a scene root (reference's Dataset+BatchReader)."""
 

@@ -48,6 +48,7 @@ def run_comparison(
     batch_size: int = 8,
     iterations: int = 500,
     force_reg: float = 1e-3,
+    steps_per_call: int = 8,
     adjoint_iterations: int = 500,
     adjoint_lr: float = 0.05,
     grad_clip: float | None = None,
@@ -66,7 +67,7 @@ def run_comparison(
         obs_loss_frames=tuple(range(1, n + 1)),
         logdir=os.path.join(workdir, "logs_cfe"), **common,
     ).prepare()
-    app.train(iterations)
+    app.train(iterations, steps_per_call=steps_per_call)
     app.save(cfe_dir)
 
     ops_dir = os.path.join(workdir, "ckpt_ops")
@@ -77,7 +78,7 @@ def run_comparison(
             restore=ops_dir if os.path.isdir(ops_dir) else None,
             logdir=os.path.join(workdir, f"logs_op{span}"), **common,
         ).prepare()
-        app.train(iterations)
+        app.train(iterations, steps_per_call=steps_per_call)
         app.save(ops_dir)
 
     # --- per-scheme end-to-end ------------------------------------------------
@@ -93,7 +94,7 @@ def run_comparison(
             obs_loss_frames=(n,), restore=restore, learning_rate=3e-4,
             logdir=os.path.join(workdir, f"logs_e2e_{scheme}"), **common,
         ).prepare()
-        app.train(iterations)
+        app.train(iterations, steps_per_call=steps_per_call)
         app.save(os.path.join(workdir, f"ckpt_{scheme}"))
         results[scheme] = evaluate_control(app, val_dataset, n)
 

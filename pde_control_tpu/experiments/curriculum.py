@@ -37,6 +37,9 @@ class CurriculumConfig:
     e2e_stage_ns: tuple | None = None
     grad_clip: float | None = None
     seed: int = 0
+    # Optimizer steps fused per device dispatch (train(steps_per_call=k)) —
+    # each separate dispatch costs ~7 ms over the axon tunnel.
+    steps_per_call: int = 8
 
 
 def op_spans(n: int) -> list[int]:
@@ -79,7 +82,8 @@ def run_curriculum(
             learning_rate=cfg.cfe_lr,
             logdir=stage_dir("logs_cfe"), **common,
         ).prepare()
-        results["cfe_supervised"] = app.train(cfg.cfe_iterations)
+        results["cfe_supervised"] = app.train(
+            cfg.cfe_iterations, steps_per_call=cfg.steps_per_call)
         app.save(stage_dir("ckpt_cfe"))
 
     # ---- stage 2: per-level OP supervised -----------------------------------
@@ -91,7 +95,8 @@ def run_curriculum(
             os.path.isdir(stage_dir("ckpt_ops")) else None,
             logdir=stage_dir(f"logs_op{span}"), **common,
         ).prepare()
-        results[f"op{span}_supervised"] = app.train(cfg.op_iterations)
+        results[f"op{span}_supervised"] = app.train(
+            cfg.op_iterations, steps_per_call=cfg.steps_per_call)
         app.save(stage_dir("ckpt_ops"))
 
     # ---- stage 3: end-to-end (optionally staged horizon growth) -----------
@@ -119,7 +124,8 @@ def run_curriculum(
             learning_rate=cfg.e2e_lr, restore=restore,
             logdir=stage_dir(f"logs_e2e_n{n_k}"), **common,
         ).prepare()
-        results[f"end_to_end_n{n_k}"] = app.train(cfg.e2e_iterations)
+        results[f"end_to_end_n{n_k}"] = app.train(
+            cfg.e2e_iterations, steps_per_call=cfg.steps_per_call)
         prev_ckpt = stage_dir(f"ckpt_e2e_n{n_k}")
         app.save(prev_ckpt)
     results["end_to_end"] = results[f"end_to_end_n{stage_ns[-1]}"]

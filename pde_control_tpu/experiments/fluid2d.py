@@ -72,15 +72,24 @@ def run_shape_transition(workdir: str, size: int = 64, n: int = 16,
 def run_smoke_indirect(workdir: str, size: int = 64, n: int = 16,
                        iterations: int = 500, num_train: int = 256,
                        num_val: int = 32, batch_size: int = 8,
+                       control_amplitude: float = 1.0,
                        mesh=None) -> dict:
     """Config 4: indirect smoke control — inflow-driven plume through an
-    obstacle course, buoyancy-only forcing, targets from withheld control."""
+    obstacle course, buoyancy-only forcing, targets from withheld control.
+
+    `control_amplitude` scales the withheld buoyancy-modulation field: it
+    sets how far targets deviate from natural evolution (the zero-force
+    baseline MSE), i.e. how much signal the controller must supply."""
     obstacles = default_obstacles(size, size)
     domain = Domain2D.create(size, size, obstacle_mask=jnp.asarray(obstacles))
     cfg = FluidConfig(dt=1.0, buoyancy=0.08, pressure_tol=1e-4,
                       pressure_maxiter=200)
-    train = generate_inflow_smoke_dataset(domain, cfg, num_train, n, seed=0)
-    val = generate_inflow_smoke_dataset(domain, cfg, num_val, n, seed=999)
+    train = generate_inflow_smoke_dataset(
+        domain, cfg, num_train, n, seed=0,
+        control_amplitude=control_amplitude)
+    val = generate_inflow_smoke_dataset(
+        domain, cfg, num_val, n, seed=999,
+        control_amplitude=control_amplitude)
     pde = IncompressibleFluidPDE(domain, cfg, control="buoyancy",
                                  with_inflow=True,
                                  unet_levels=3 if size >= 32 else 2)

@@ -295,3 +295,27 @@ def test_train_fused_loop(burgers_data, tmp_path):
     last = app.train(10, log_every=4, steps_per_call=4)
     assert app.step_count == 10
     assert np.isfinite(last["loss"]) and last["steps_per_sec"] > 0
+
+
+def test_device_dataset_matches_host_sampling(burgers_data):
+    from pde_control_tpu.data.scene import DeviceDataset
+
+    dev = DeviceDataset.wrap(burgers_data)
+    host_batch = burgers_data.sample(np.random.default_rng(3), 8)
+    dev_batch = dev.sample(np.random.default_rng(3), 8)
+    assert set(host_batch) == set(dev_batch)
+    for k in host_batch:
+        np.testing.assert_allclose(np.asarray(dev_batch[k]), host_batch[k],
+                                   atol=0)
+    # stacked sampling: shape contract for progress_multi
+    stacked = dev.sample_stacked(np.random.default_rng(4), 3, 8)
+    assert stacked["obs"].shape[:2] == (3, 8)
+    # wrap is idempotent and training auto-wraps
+    assert DeviceDataset.wrap(dev) is dev
+    pde = BurgersPDE(CFG)
+    app = ControlTraining(2, pde, dataset=burgers_data, batch_size=4,
+                          trainable_networks=("CFE",), sequence_class="chain",
+                          obs_loss_frames=(1,)).prepare()
+    assert isinstance(app.dataset, DeviceDataset)
+    m = app.progress()
+    assert np.isfinite(float(m["loss"]))
