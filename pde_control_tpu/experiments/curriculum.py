@@ -40,6 +40,9 @@ class CurriculumConfig:
     # Optimizer steps fused per device dispatch (train(steps_per_call=k)) —
     # each separate dispatch costs ~7 ms over the axon tunnel.
     steps_per_call: int = 8
+    # LR schedule for the e2e stage ('cosine' decays over the stage's
+    # iteration count); supervised stages keep a constant LR.
+    e2e_lr_schedule: str | None = "cosine"
 
 
 def op_spans(n: int) -> list[int]:
@@ -122,6 +125,8 @@ def run_curriculum(
             n_k, trainable_networks=trainable,
             sequence_class=cfg.e2e_sequence, obs_loss_frames=(n_k,),
             learning_rate=cfg.e2e_lr, restore=restore,
+            lr_schedule=cfg.e2e_lr_schedule,
+            decay_steps=cfg.e2e_iterations if cfg.e2e_lr_schedule else None,
             logdir=stage_dir(f"logs_e2e_n{n_k}"), **common,
         ).prepare()
         results[f"end_to_end_n{n_k}"] = app.train(
