@@ -170,7 +170,8 @@ def compare_smoke(workdir: str, size: int = 64, n: int = 16,
     obstacles = default_obstacles(size, size)
     domain = Domain2D.create(size, size, obstacle_mask=jnp.asarray(obstacles))
     cfg = FluidConfig(dt=1.0, buoyancy=0.08, pressure_tol=1e-4,
-                      pressure_maxiter=200)
+                      pressure_maxiter=200,
+                      warm_start_pressure=True)
     train = generate_inflow_smoke_dataset(domain, cfg, num_train, n, seed=0)
     val = generate_inflow_smoke_dataset(domain, cfg, num_val, n, seed=999)
     pde = IncompressibleFluidPDE(domain, cfg, control="buoyancy",

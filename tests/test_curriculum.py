@@ -1,0 +1,59 @@
+"""run_curriculum integration: staged e2e horizon growth + eval.
+
+The quality runs (experiments/fluid2d.py) rely on the staged-growth restore
+chain (e2e_stage_ns): each horizon's e2e stage restores the previous
+horizon's refined CFE/OPs and ckpt_ops for the newly introduced top-level
+OP. This pins that composition end-to-end on a tiny Burgers problem
+(reference: the staged curriculum of SURVEY.md §3.4, notebooks [R]).
+"""
+
+import json
+import os
+
+from pde_control_tpu.control.pde_burgers import BurgersPDE
+from pde_control_tpu.data.generate import generate_burgers_dataset
+from pde_control_tpu.experiments.curriculum import (
+    CurriculumConfig,
+    run_curriculum,
+)
+from pde_control_tpu.physics.burgers import BurgersConfig
+
+CFG = BurgersConfig(n=16, dt=0.5, viscosity=0.05)
+
+
+def test_staged_curriculum_runs_and_evaluates(tmp_path):
+    train = generate_burgers_dataset(CFG, num=16, n_steps=4, seed=0)
+    val = generate_burgers_dataset(CFG, num=8, n_steps=4, seed=1)
+    pde = BurgersPDE(CFG)
+    ccfg = CurriculumConfig(
+        n=4, batch_size=4, cfe_iterations=3, op_iterations=3,
+        e2e_iterations=4, e2e_stage_ns=(2, 4), steps_per_call=2,
+    )
+    workdir = str(tmp_path / "curr")
+    results = run_curriculum(pde, ccfg, train, val, workdir)
+
+    # every stage ran, including both staged-e2e horizons
+    for key in ("cfe_supervised", "op2_supervised", "op4_supervised",
+                "end_to_end_n2", "end_to_end_n4", "end_to_end", "eval"):
+        assert key in results, key
+    # staged checkpoints exist and the final one carries every network
+    assert os.path.isdir(os.path.join(workdir, "ckpt_e2e_n2"))
+    for net in ("CFE", "OP2", "OP4"):
+        assert os.path.exists(
+            os.path.join(workdir, "ckpt_final", f"{net}.msgpack")), net
+    ev = results["eval"]
+    assert ev["final_state_mse"] == ev["final_state_mse"]  # finite
+    assert ev["zero_force_final_mse"] > 0
+    assert results["end_to_end"]["loss"] == results["end_to_end_n4"]["loss"]
+    with open(os.path.join(workdir, "results.json")) as f:
+        assert "eval" in json.load(f)
+
+
+def test_stage_ns_must_end_at_n(tmp_path):
+    train = generate_burgers_dataset(CFG, num=8, n_steps=4, seed=0)
+    pde = BurgersPDE(CFG)
+    ccfg = CurriculumConfig(n=4, batch_size=4, e2e_stage_ns=(2,))
+    import pytest
+
+    with pytest.raises(ValueError, match="e2e_stage_ns"):
+        run_curriculum(pde, ccfg, train, train, str(tmp_path / "x"))
