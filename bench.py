@@ -28,6 +28,11 @@ N_STEPS = 16
 BATCH = 8
 WARMUP = 2
 ITERS = 8
+# Measurement-protocol tag recorded into the baseline cache: the comparator
+# must be measured under the SAME protocol as the TPU number (fused K-step
+# dispatch, warm-started pressure). Bumping this invalidates the cache and
+# triggers a CPU re-measure (~35 min on this 1-core host).
+PROTOCOL = "fused-multi-warmstart-v2"
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_baseline.json")
 
@@ -75,6 +80,7 @@ def measure(iters: int = ITERS, warmup: int = WARMUP, trials: int = 3) -> dict:
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
         "host_cpu_cores": os.cpu_count(),
+        "protocol": PROTOCOL,
     }
 
 
@@ -85,23 +91,33 @@ def cpu_baseline() -> dict:
     (1 in the round-1/2 environment) — the comparator is a 1-core CPU run
     of the SAME JAX program, not the TF1 reference on a workstation. The
     absolute TPU number is the headline; vs_baseline is context."""
+    stale = None
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cached = json.load(f)
-        cached.setdefault("host_cpu_cores", os.cpu_count())
-        return cached
+        if cached.get("protocol") == PROTOCOL:
+            cached.setdefault("host_cpu_cores", os.cpu_count())
+            return cached
+        stale = cached  # protocol changed: re-measure, keep as fallback
     env = dict(os.environ)
     # Strip the axon TPU session vars: sitecustomize would otherwise pin the
     # platform before JAX_PLATFORMS applies (it runs at interpreter start).
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--measure-only"],
-        capture_output=True, text=True, env=env, timeout=3600,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    )
-    line = out.stdout.strip().splitlines()[-1]
-    result = json.loads(line)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--measure-only"],
+            capture_output=True, text=True, env=env, timeout=3600,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        result = json.loads(line)
+    except Exception:
+        if stale is not None:
+            stale["stale_protocol"] = True  # old-protocol number, flagged
+            stale.setdefault("host_cpu_cores", os.cpu_count())
+            return stale
+        raise
     with open(BASELINE_CACHE, "w") as f:
         json.dump(result, f)
     return result

@@ -62,9 +62,9 @@ def optimize_forces(
             return nxt, pde.force_cost(force)
 
         if remat:
-            from pde_control_tpu.control.sequences import _REMAT_POLICY
+            from pde_control_tpu.control.sequences import REMAT_POLICY
 
-            body = jax.checkpoint(body, policy=_REMAT_POLICY)
+            body = jax.checkpoint(body, policy=REMAT_POLICY)
         body_fn = body
         final, costs = lax.scan(body_fn, state0, forces)
         loss = obs_loss(pde.observe(final), target_obs)

@@ -37,7 +37,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# step_fn(state, target_obs) -> (next_state, force_cost (B,))
+# step_fn(state, target_obs) -> (next_state, aux) — aux is any pytree of
+# per-step outputs (e.g. {'cost': (B,), 'force': ...}); the runners stack
+# it along a leading time axis.
 StepFn = Callable
 # op_fn(span, o_start, o_end) -> o_mid
 OpFn = Callable
@@ -47,7 +49,8 @@ OpFn = Callable
 # current step, p is consumed only linearly, so XLA DCEs the recomputed
 # solve anyway (measured: no time delta) — the policy guards against any
 # future nonlinear consumer of p silently re-running CG in backward.
-_REMAT_POLICY = jax.checkpoint_policies.save_only_these_names("pressure")
+REMAT_POLICY = jax.checkpoint_policies.save_only_these_names("pressure")
+
 
 
 def staggered_targets(
@@ -111,7 +114,7 @@ def run_chain(
         return nxt, out
 
     if remat is True:
-        body = jax.checkpoint(body, policy=_REMAT_POLICY)
+        body = jax.checkpoint(body, policy=REMAT_POLICY)
     final, ys = lax.scan(body, state0, targets)
     if keep_states:
         obs_traj, aux_traj, states = ys
@@ -153,8 +156,8 @@ def run_refined(
         if remat is True:
             # Checkpoint each half: O(log n) live activations along the
             # recursion spine, recompute on the backward sweep.
-            left = jax.checkpoint(left, policy=_REMAT_POLICY)
-            right = jax.checkpoint(right, policy=_REMAT_POLICY)
+            left = jax.checkpoint(left, policy=REMAT_POLICY)
+            right = jax.checkpoint(right, policy=REMAT_POLICY)
         mid_state, obs_l, aux_l, st_l = left(state)
         end_state, obs_r, aux_r, st_r = right(mid_state)
         return end_state, obs_l + obs_r, aux_l + aux_r, st_l + st_r

@@ -395,6 +395,8 @@ class ControlTraining:
         steps_per_call > 1 fuses that many optimizer steps into one device
         program (progress_multi) — one host↔device round trip per call
         instead of per step (the tunnel costs ~7 ms/dispatch, measured).
+        `iterations` is then rounded UP to a multiple of steps_per_call
+        (avoids compiling a second fused program for a short tail chunk).
 
         When a logdir is set, every `log_every` steps the current rollout's
         final frame is rendered next to its target (PNG under the logdir +
@@ -425,10 +427,15 @@ class ControlTraining:
     def _train_fused(self, iterations: int, log_every: int,
                      val_every: int | None, render: bool, k: int) -> dict:
         """Multi-step-per-dispatch training loop (see train)."""
+        if iterations % k:
+            # Round UP to a whole number of K-step chunks: a shorter tail
+            # chunk would be a second full fused program — another multi-
+            # minute XLA compile through the remote relay for < k steps.
+            iterations = (iterations // k + 1) * k
         last = {}
         t0 = time.time()
         done = 0
-        nxt = self._device_batch_multi(self.sample_batches(min(k, iterations)))
+        nxt = self._device_batch_multi(self.sample_batches(k))
         next_log = log_every
         next_val = val_every or 0
         while done < iterations:

@@ -67,9 +67,14 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _is_current():
-            if not _build(_src_hash()):
-                return None
+        try:
+            if not _is_current():
+                if not _build(_src_hash()):
+                    return None
+        except OSError:
+            # Source missing (e.g. a stripped install): NumPy fallback,
+            # never an exception out of get_lib().
+            return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:

@@ -127,13 +127,23 @@ class DeviceDataset:
     @classmethod
     def wrap(cls, ds):
         """DeviceDataset view of a TrajectoryDataset (or pass-through if it
-        already is one / is too big to sensibly keep device-resident)."""
+        already is one / is too big to sensibly keep device-resident).
+
+        The view is cached on the source dataset: a curriculum builds ~10
+        ControlTraining apps from the same TrajectoryDataset, and each
+        prepare() calls wrap() — re-uploading a ~270 MB store over the
+        ~25 MB/s axon link per stage would cost minutes per run."""
         if isinstance(ds, cls) or not isinstance(ds, TrajectoryDataset):
             return ds
+        cached = getattr(ds, "_device_view", None)
+        if cached is not None:
+            return cached
         total = ds.obs.nbytes + sum(v.nbytes for v in ds.extras.values())
         if total > cls._MAX_BYTES:
             return ds
-        return cls(ds.obs, **ds.extras)
+        view = cls(ds.obs, **ds.extras)
+        ds._device_view = view
+        return view
 
     def __len__(self) -> int:
         return int(self.obs.shape[0])

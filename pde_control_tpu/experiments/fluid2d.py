@@ -36,7 +36,9 @@ from pde_control_tpu.physics.fluid import FluidConfig
 
 def default_obstacles(h: int, w: int) -> np.ndarray:
     """The smoke task's obstacle course: two staggered plates [R?],
-    built from geom boxes (3 cells thick so the plume must route around)."""
+    built from geom boxes (2 cell-rows thick — the half-open [y0, y0+2)
+    box covers two integer cell centers — so the plume must route
+    around)."""
     from pde_control_tpu.geom import Box, rasterize, union
 
     course = union(

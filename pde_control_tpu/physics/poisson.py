@@ -151,9 +151,11 @@ def solve_pressure(
     pressure). It is stop_gradient'd: the converged solution is independent
     of the starting point (to tol), so no AD path may flow through it —
     and custom_linear_solve's transpose machinery must see it as a
-    constant, like the geometry masks. The VJP's cotangent solve reuses
-    the same x0 (a worse guess than for the primal, but CG converges from
-    any start); the exact spectral paths ignore it.
+    constant, like the geometry masks. The VJP's cotangent solve starts
+    COLD (an explicit zero-start transpose_solve): a cotangent's scale is
+    unrelated to the primal pressure, so warm-starting it from the primal
+    guess would only cost fp32 accuracy. The exact spectral paths ignore
+    x0 entirely.
     """
     fluid = lax.stop_gradient(domain.fluid_mask)
     geom = jax.tree_util.tree_map(lax.stop_gradient, domain)
