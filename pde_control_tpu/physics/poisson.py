@@ -106,6 +106,15 @@ def _pick_backend(backend: str, div: jnp.ndarray, domain: Domain2D) -> str:
     """
     from pde_control_tpu.ops.pallas_cg import pallas_solve_fits
 
+    if div.ndim != 3:
+        # 3D volumes (B, D, H, W): the fast paths (Pallas kernel, matmul
+        # DCT/DST, spectral preconditioner) are built for 2D grids only —
+        # route to the dimension-agnostic masked CG.
+        if backend in ("pallas", "spectral", "pcg"):
+            raise ValueError(
+                f"backend {backend!r} supports 2D (B, H, W) fields only; "
+                "use 'auto' or 'jax' for volumes")
+        return "jax"
     if backend != "auto":
         if backend == "pallas" and not pallas_solve_fits(*div.shape):
             raise ValueError(f"grid {div.shape} exceeds the Pallas VMEM budget")
