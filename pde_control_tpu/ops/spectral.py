@@ -74,8 +74,11 @@ def _inv_neumann_eigenvalues(h: int, w: int, dx: float) -> np.ndarray:
 def spectral_neumann_solve(b: jnp.ndarray, dx: float = 1.0) -> jnp.ndarray:
     """Exact (pseudo-inverse) solve of A p = b, A = −∇² with Neumann BC.
 
-    b: (B, H, W), assumed zero-mean (compatible); returns the zero-mean p.
+    b: (B, H, W) or (B, D, H, W) (dispatches to the 3D solve), assumed
+    zero-mean (compatible); returns the zero-mean p.
     """
+    if b.ndim == 4:
+        return spectral_neumann_solve_3d(b, dx)
     h, w = b.shape[-2], b.shape[-1]
     inv_lam = jnp.asarray(_inv_neumann_eigenvalues(h, w, dx))
     return idct2_2d(dct2_2d(b) * inv_lam)
@@ -111,7 +114,84 @@ def _inv_dirichlet_eigenvalues(h: int, w: int, dx: float) -> np.ndarray:
 
 def spectral_dirichlet_solve(b: jnp.ndarray, dx: float = 1.0) -> jnp.ndarray:
     """Exact solve of A p = b, A = −∇² with Dirichlet (open-wall, ghost
-    p = 0) BC — the open-domain pressure operator. b: (B, H, W)."""
+    p = 0) BC — the open-domain pressure operator. b: (B, H, W) or
+    (B, D, H, W) (dispatches to the 3D solve)."""
+    if b.ndim == 4:
+        return spectral_dirichlet_solve_3d(b, dx)
     h, w = b.shape[-2], b.shape[-1]
     inv_lam = jnp.asarray(_inv_dirichlet_eigenvalues(h, w, dx))
     return dst1_2d(dst1_2d(b) * inv_lam)
+
+
+# ---------------------------------------------------------------- 3D solves
+# Volume analogs (b: (B, D, H, W)): the separable eigenstructure extends
+# directly — three sequential basis matmuls per transform, still MXU-ridden.
+# The 2D entry points dispatch here on ndim, so physics/poisson.py uses one
+# name per boundary condition regardless of dimension.
+
+
+def _apply_axes_3d(x: jnp.ndarray, qd, qh, qw) -> jnp.ndarray:
+    x = jnp.einsum("kd,bdhw->bkhw", qd, x, precision=_PRECISION,
+                   preferred_element_type=jnp.float32)
+    x = jnp.einsum("lh,bkhw->bklw", qh, x, precision=_PRECISION,
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("mw,bklw->bklm", qw, x, precision=_PRECISION,
+                      preferred_element_type=jnp.float32)
+
+
+def dct2_3d(x: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormal 3D DCT-II over the last three axes."""
+    return _apply_axes_3d(x, jnp.asarray(_dct_matrix(x.shape[-3])),
+                          jnp.asarray(_dct_matrix(x.shape[-2])),
+                          jnp.asarray(_dct_matrix(x.shape[-1])))
+
+
+def idct2_3d(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of `dct2_3d` (transpose of the orthonormal transform)."""
+    qd = jnp.asarray(_dct_matrix(x.shape[-3])).T
+    qh = jnp.asarray(_dct_matrix(x.shape[-2])).T
+    qw = jnp.asarray(_dct_matrix(x.shape[-1])).T
+    return _apply_axes_3d(x, qd, qh, qw)
+
+
+@functools.lru_cache(maxsize=32)
+def _inv_neumann_eigenvalues_3d(d: int, h: int, w: int,
+                                dx: float) -> np.ndarray:
+    kz = 2.0 - 2.0 * np.cos(np.pi * np.arange(d) / d)
+    ky = 2.0 - 2.0 * np.cos(np.pi * np.arange(h) / h)
+    kx = 2.0 - 2.0 * np.cos(np.pi * np.arange(w) / w)
+    lam = (kz[:, None, None] + ky[None, :, None] + kx[None, None, :]) / (
+        dx * dx)
+    lam[0, 0, 0] = np.inf  # constant nullspace → 1/λ = 0
+    return (1.0 / lam).astype(np.float32)
+
+
+def spectral_neumann_solve_3d(b: jnp.ndarray, dx: float = 1.0) -> jnp.ndarray:
+    d, h, w = b.shape[-3], b.shape[-2], b.shape[-1]
+    inv_lam = jnp.asarray(_inv_neumann_eigenvalues_3d(d, h, w, dx))
+    return idct2_3d(dct2_3d(b) * inv_lam)
+
+
+def dst1_3d(x: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormal 3D DST-I over the last three axes (involutory)."""
+    return _apply_axes_3d(x, jnp.asarray(_dst_matrix(x.shape[-3])),
+                          jnp.asarray(_dst_matrix(x.shape[-2])),
+                          jnp.asarray(_dst_matrix(x.shape[-1])))
+
+
+@functools.lru_cache(maxsize=32)
+def _inv_dirichlet_eigenvalues_3d(d: int, h: int, w: int,
+                                  dx: float) -> np.ndarray:
+    kz = 2.0 - 2.0 * np.cos(np.pi * np.arange(1, d + 1) / (d + 1))
+    ky = 2.0 - 2.0 * np.cos(np.pi * np.arange(1, h + 1) / (h + 1))
+    kx = 2.0 - 2.0 * np.cos(np.pi * np.arange(1, w + 1) / (w + 1))
+    lam = (kz[:, None, None] + ky[None, :, None] + kx[None, None, :]) / (
+        dx * dx)
+    return (1.0 / lam).astype(np.float32)
+
+
+def spectral_dirichlet_solve_3d(b: jnp.ndarray,
+                                dx: float = 1.0) -> jnp.ndarray:
+    d, h, w = b.shape[-3], b.shape[-2], b.shape[-1]
+    inv_lam = jnp.asarray(_inv_dirichlet_eigenvalues_3d(d, h, w, dx))
+    return dst1_3d(dst1_3d(b) * inv_lam)

@@ -67,9 +67,10 @@ class Fluid3DConfig:
     max_shift: int = 1             # CFL bound; window is (2K+2)³ terms in 3D
     pressure_tol: float = 1e-5
     pressure_maxiter: int = 500
-    # 'auto' | 'jax' (masked CG). The 2D-only fast paths ('pallas',
-    # 'spectral', 'pcg') are not yet built for volumes; 'auto' resolves to
-    # 'jax' for 4D fields (poisson._pick_backend).
+    # 'auto' | 'jax' (masked CG) | 'spectral' (exact matmul-DCT/DST solve,
+    # obstacle-free domains) | 'pcg' (spectrally-preconditioned CG). 'auto'
+    # picks spectral/pcg by obstacle structure; the fused Pallas kernel is
+    # 2D-only (poisson._pick_backend).
     pressure_backend: str = "auto"
     warm_start_pressure: bool = False
 

@@ -106,15 +106,21 @@ def _pick_backend(backend: str, div: jnp.ndarray, domain: Domain2D) -> str:
     """
     from pde_control_tpu.ops.pallas_cg import pallas_solve_fits
 
-    if div.ndim != 3:
-        # 3D volumes (B, D, H, W): the fast paths (Pallas kernel, matmul
-        # DCT/DST, spectral preconditioner) are built for 2D grids only —
-        # route to the dimension-agnostic masked CG.
-        if backend in ("pallas", "spectral", "pcg"):
-            raise ValueError(
-                f"backend {backend!r} supports 2D (B, H, W) fields only; "
-                "use 'auto' or 'jax' for volumes")
-        return "jax"
+    if div.ndim == 4:
+        # 3D volumes (B, D, H, W): the exact matmul-DCT/DST solves and the
+        # spectral-preconditioned CG dispatch on ndim (ops/spectral.py);
+        # only the fused Pallas kernel is 2D-only.
+        if backend == "pallas":
+            raise ValueError("the Pallas kernel supports 2D (B, H, W) "
+                             "fields only; use 'auto'/'spectral'/'pcg'/'jax'")
+        if backend != "auto":
+            if backend == "spectral" and domain.has_obstacles:
+                raise ValueError("'spectral' is exact only for domains "
+                                 "without obstacles; use 'pcg'")
+            return backend
+        if not domain.has_obstacles:
+            return "spectral"
+        return "pcg"
     if backend != "auto":
         if backend == "pallas" and not pallas_solve_fits(*div.shape):
             raise ValueError(f"grid {div.shape} exceeds the Pallas VMEM budget")

@@ -149,3 +149,44 @@ def test_warm_start_3d_matches_cold():
                                np.asarray(s_cold.density), atol=1e-4)
     np.testing.assert_allclose(np.asarray(s_warm.velocity.vz),
                                np.asarray(s_cold.velocity.vz), atol=1e-4)
+
+
+def test_spectral_3d_matches_cg():
+    """Exact 3D DCT/DST solves agree with masked CG on obstacle-free
+    domains (closed/Neumann and open/Dirichlet)."""
+    from pde_control_tpu.physics.poisson import solve_pressure
+
+    rng = np.random.default_rng(7)
+    b = jnp.asarray(rng.standard_normal((2, 8, 10, 12)), jnp.float32)
+    for closed in (True, False):
+        domain = Domain3D.create(8, 10, 12, closed=closed)
+        rhs = b - b.mean(axis=(1, 2, 3), keepdims=True) if closed else b
+        p_sp = solve_pressure(rhs, domain, backend="spectral")
+        p_cg = solve_pressure(rhs, domain, tol=1e-8, maxiter=2000,
+                              backend="jax")
+        if closed:  # both zero-mean gauge
+            p_sp = p_sp - p_sp.mean(axis=(1, 2, 3), keepdims=True)
+            p_cg = p_cg - p_cg.mean(axis=(1, 2, 3), keepdims=True)
+        np.testing.assert_allclose(np.asarray(p_sp), np.asarray(p_cg),
+                                   atol=5e-4)
+
+
+def test_pcg_3d_with_obstacles():
+    """Spectrally-preconditioned CG converges on 3D obstacle domains and
+    'auto' routes there."""
+    from pde_control_tpu.physics.poisson import _pick_backend, solve_pressure
+
+    domain = _obstacle_domain()
+    rng = np.random.default_rng(8)
+    v = Staggered3D(
+        vz=jnp.asarray(rng.normal(size=(1, D + 1, H, W)), jnp.float32),
+        vy=jnp.asarray(rng.normal(size=(1, D, H + 1, W)), jnp.float32),
+        vx=jnp.asarray(rng.normal(size=(1, D, H, W + 1)), jnp.float32),
+    )
+    v = domain.mask_velocity(v)
+    div = v.divergence(domain.dx)
+    assert _pick_backend("auto", div, domain) == "pcg"
+    p = solve_pressure(div, domain, tol=1e-6, maxiter=300, backend="pcg")
+    v2 = v - domain.pressure_gradient(p)
+    res = np.asarray(v2.divergence(domain.dx)) * np.asarray(domain.fluid_mask)
+    assert np.abs(res).max() < 1e-4
