@@ -21,8 +21,10 @@ from pde_control_tpu import geom, grids, ops, physics  # noqa: F401
 from pde_control_tpu.control.adjoint import optimize_forces  # noqa: F401
 from pde_control_tpu.control.pde_burgers import BurgersPDE  # noqa: F401
 from pde_control_tpu.control.pde_fluid import IncompressibleFluidPDE  # noqa: F401
+from pde_control_tpu.control.pde_fluid3d import IncompressibleFluid3DPDE  # noqa: F401
 from pde_control_tpu.control.training import ControlTraining  # noqa: F401
 from pde_control_tpu.grids import Domain2D, Staggered2D  # noqa: F401
+from pde_control_tpu.grids3d import Domain3D, Staggered3D  # noqa: F401
 from pde_control_tpu.physics import (  # noqa: F401
     BurgersConfig,
     FluidConfig,
@@ -30,4 +32,9 @@ from pde_control_tpu.physics import (  # noqa: F401
     burgers_step,
     divergence_free,
     fluid_step,
+)
+from pde_control_tpu.physics import (  # noqa: F401
+    Fluid3DConfig,
+    FluidState3D,
+    fluid3d_step,
 )

@@ -194,7 +194,9 @@ def evaluate_control(app: ControlTraining, val_dataset, n: int,
         "mean_abs_force": mean_abs_force,
         "zero_force_final_mse": zero_mse,
     }
-    if render_dir and obs_traj.ndim == 5 and obs_traj.shape[2] > 1:
+    if render_dir and obs_traj.ndim in (5, 6) and obs_traj.shape[2] > 1:
+        # 2D fields render directly; 3D volumes render their mid-depth
+        # slice (save_field_png slices internally).
         from pde_control_tpu.utils.viz import save_field_png
 
         for tag, field in [("controlled_final", obs_traj[n - 1, 0, ..., 0]),

@@ -22,7 +22,7 @@ def main() -> None:
     p.add_argument("name", choices=[
         "burgers_chain", "burgers_hierarchical", "shape_transition",
         "smoke_indirect", "natural_flow_128", "burgers_adjoint",
-        "compare_burgers", "compare_smoke"])
+        "compare_burgers", "compare_smoke", "smoke3d"])
     p.add_argument("--workdir", default=None)
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--smoke-test", action="store_true")
@@ -98,6 +98,14 @@ def main() -> None:
             iterations=it or (10 if st else 500),
             num_train=16 if st else 256, num_val=8 if st else 32,
             batch_size=4 if st else 8, mesh=mesh)
+    elif args.name == "smoke3d":
+        from pde_control_tpu.experiments.smoke3d import run_smoke3d
+
+        result = run_smoke3d(
+            workdir, size=8 if st else 24, n=2 if st else 8,
+            iterations=it or (5 if st else 300),
+            num_train=8 if st else 64, num_val=4 if st else 16,
+            batch_size=4, mesh=mesh)
     else:
         result = fluid2d.run_natural_flow_128(
             workdir, size=16 if st else 64, n=8 if st else 128,

@@ -16,3 +16,9 @@ from pde_control_tpu.physics.fluid import (  # noqa: F401
     fluid_step,
     divergence_free,
 )
+from pde_control_tpu.physics.fluid3d import (  # noqa: F401
+    Fluid3DConfig,
+    FluidState3D,
+    divergence_free_3d,
+    fluid3d_step,
+)

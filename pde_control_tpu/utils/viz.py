@@ -22,6 +22,8 @@ def save_field_png(field: np.ndarray, path: str, title: str | None = None,
     import matplotlib.pyplot as plt
 
     field = np.asarray(field)
+    if field.ndim == 3:  # volume → mid-depth slice
+        field = field[field.shape[0] // 2]
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     fig, ax = plt.subplots(figsize=(4, 4) if field.ndim == 2 else (6, 3))
     if field.ndim == 1:
@@ -72,6 +74,9 @@ def save_comparison_png(fields: dict[str, np.ndarray], path: str,
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     arrays = {k: np.asarray(v) for k, v in fields.items()}
+    # 3D volumes: render the mid-depth slice (axis 0 = z).
+    arrays = {k: (a[a.shape[0] // 2] if a.ndim == 3 else a)
+              for k, a in arrays.items()}
     ndim = next(iter(arrays.values())).ndim
     if ndim == 1:
         fig, ax = plt.subplots(figsize=(6, 3))
