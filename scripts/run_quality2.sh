@@ -17,3 +17,6 @@ run compare_smoke python -m pde_control_tpu.experiments.run compare_smoke \
     --iterations 1500 --workdir runs/compare_smoke
 run bench python bench.py
 echo ALL_DONE >> runs/queue_logs/quality2_status.txt
+run smoke3d python -m pde_control_tpu.experiments.run smoke3d \
+    --workdir runs/smoke3d
+echo SMOKE3D_DONE >> runs/queue_logs/quality2_status.txt
