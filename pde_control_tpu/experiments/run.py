@@ -28,6 +28,8 @@ def main() -> None:
     p.add_argument("--smoke-test", action="store_true")
     p.add_argument("--mesh", type=int, default=None,
                    help="data-parallel over N devices")
+    p.add_argument("--num-train", type=int, default=None,
+                   help="override training-trajectory count")
     args = p.parse_args()
 
     workdir = args.workdir or f"runs/{args.name}"
@@ -96,7 +98,8 @@ def main() -> None:
         result = fluid2d.run_smoke_indirect(
             workdir, size=16 if st else 64, n=4 if st else 16,
             iterations=it or (10 if st else 500),
-            num_train=16 if st else 256, num_val=8 if st else 32,
+            num_train=args.num_train or (16 if st else 256),
+            num_val=8 if st else 32,
             batch_size=4 if st else 8, mesh=mesh)
     elif args.name == "smoke3d":
         from pde_control_tpu.experiments.smoke3d import run_smoke3d
