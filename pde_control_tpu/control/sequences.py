@@ -89,6 +89,7 @@ def run_chain(
     targets: jnp.ndarray,
     remat: bool = True,
     keep_states: bool = False,
+    unroll: int = 1,
 ):
     """Execute the CFE chain left→right against per-step targets.
 
@@ -103,6 +104,8 @@ def run_chain(
       remat: rematerialize the scan body (needed for long rollouts).
       keep_states: also stack the full state trajectory (inference — the
         reference's infer_all_frames returns every frame's fields [R]).
+      unroll: lax.scan unroll factor (XLA fuses across unrolled steps;
+        remat still checkpoints per logical step).
     Returns: (final_state, obs_traj (n, B, *s, C), aux_traj) or, with
     keep_states, (..., states) where states has a leading time axis on
     every leaf.
@@ -115,7 +118,7 @@ def run_chain(
 
     if remat is True:
         body = jax.checkpoint(body, policy=REMAT_POLICY)
-    final, ys = lax.scan(body, state0, targets)
+    final, ys = lax.scan(body, state0, targets, unroll=unroll)
     if keep_states:
         obs_traj, aux_traj, states = ys
         return final, obs_traj, aux_traj, states

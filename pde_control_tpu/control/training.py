@@ -64,6 +64,8 @@ class ControlTraining:
         seed: int = 0,
         remat=True,  # True (whole-body + saved pressure, fastest & smallest)
         # | 'selective' (net-only) | False — measured in control/sequences.py.
+        scan_unroll: int = 1,  # lax.scan unroll factor for chain rollouts
+        # (XLA may fuse across steps; A/B'd in scripts/ab_unroll.py).
         logdir: str | None = None,
         mesh=None,
         grad_clip: float | None = None,
@@ -99,6 +101,7 @@ class ControlTraining:
         self.decay_steps = decay_steps
         self.seed = seed
         self.remat = remat
+        self.scan_unroll = scan_unroll
         self.mesh = mesh
         self.logger = MetricsLogger(logdir)
         self._prepared = False
@@ -260,10 +263,11 @@ class ControlTraining:
         if keep_states:
             final, obs_traj, aux, states = run_chain(
                 step_fn, observe, state0, targets, self.remat,
-                keep_states=True)
+                keep_states=True, unroll=self.scan_unroll)
             return obs_traj, aux, final, states
         final, obs_traj, aux = run_chain(
-            step_fn, observe, state0, targets, self.remat)
+            step_fn, observe, state0, targets, self.remat,
+            unroll=self.scan_unroll)
         return obs_traj, aux, final
 
     # ---------------------------------------------------------------- losses
