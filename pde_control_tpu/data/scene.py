@@ -115,7 +115,10 @@ class DeviceDataset:
     contract (and identical draws for a given rng) as TrajectoryDataset.
     """
 
-    _MAX_BYTES = 1 << 30  # leave HBM for activations; fall back above this
+    # Leave HBM for activations; fall back to host feeding above this.
+    # 4 GB of a 16 GB v5e chip: the 64² n=128 workloads peak well under
+    # the remainder with whole-body remat (docs/DESIGN.md).
+    _MAX_BYTES = 4 << 30
 
     def __init__(self, obs, **extras):
         import jax.numpy as jnp

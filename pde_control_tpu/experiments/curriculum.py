@@ -43,6 +43,12 @@ class CurriculumConfig:
     # LR schedule for the e2e stage ('cosine' decays over the stage's
     # iteration count); supervised stages keep a constant LR.
     e2e_lr_schedule: str | None = "cosine"
+    # Observation-loss frames for the e2e stage. None = final frame only
+    # (the paper's loss). A tuple adds intermediate ground-truth frames as
+    # auxiliary losses (the reference's obs_loss_frames supports this) —
+    # denser supervision stabilizes long-horizon (n≥64) training; frames
+    # beyond the current staged horizon n_k are dropped, n_k always kept.
+    e2e_obs_frames: tuple | None = None
 
 
 def op_spans(n: int) -> list[int]:
@@ -121,9 +127,14 @@ def run_curriculum(
             else:
                 restore[name] = stage_dir("ckpt_ops")
         trainable = ("CFE",) + tuple(f"OP{s}" for s in op_spans(n_k))
+        if cfg.e2e_obs_frames:
+            frames = tuple(sorted({f for f in cfg.e2e_obs_frames
+                                   if f < n_k} | {n_k}))
+        else:
+            frames = (n_k,)
         app = ControlTraining(
             n_k, trainable_networks=trainable,
-            sequence_class=cfg.e2e_sequence, obs_loss_frames=(n_k,),
+            sequence_class=cfg.e2e_sequence, obs_loss_frames=frames,
             learning_rate=cfg.e2e_lr, restore=restore,
             lr_schedule=cfg.e2e_lr_schedule,
             decay_steps=cfg.e2e_iterations if cfg.e2e_lr_schedule else None,

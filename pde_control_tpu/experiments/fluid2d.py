@@ -131,5 +131,7 @@ def run_natural_flow_128(workdir: str, size: int = 64, n: int = 128,
                             e2e_lr=1e-4,
                             e2e_stage_ns=tuple(
                                 s for s in (32, 64) if s < n) + (n,),
+                            e2e_obs_frames=tuple(
+                                f for f in (32, 64, 96) if f < n) + (n,),
                             force_reg=1e-4, grad_clip=1.0)
     return run_curriculum(pde, ccfg, train, val, workdir, mesh=mesh)

@@ -113,7 +113,8 @@ def main() -> None:
         result = fluid2d.run_natural_flow_128(
             workdir, size=16 if st else 64, n=8 if st else 128,
             iterations=it or (10 if st else 300),
-            num_train=16 if st else 128, num_val=8 if st else 16,
+            num_train=args.num_train or (16 if st else 128),
+            num_val=8 if st else 16,
             batch_size=4 if st else 8, mesh=mesh)
 
     print(json.dumps(result, indent=2, default=float))
