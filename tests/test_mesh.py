@@ -27,3 +27,20 @@ def test_mesh_dp_matches_single_device():
     )
     assert out.returncode == 0, out.stdout + "\n" + out.stderr
     assert "MESH_EQUALITY_OK" in out.stdout, out.stdout + "\n" + out.stderr
+
+
+def test_mesh_dp_matches_single_device_3d():
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    script = os.path.join(repo, "tests", "_mesh_equality_check.py")
+    out = subprocess.run(
+        [sys.executable, script, "--3d"], env=env, cwd=repo,
+        capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stdout + "\n" + out.stderr
+    assert "MESH_EQUALITY_3D_OK" in out.stdout, out.stdout + "\n" + out.stderr
