@@ -43,6 +43,9 @@ class IncompressibleFluidPDE(PDE):
         control: str = "direct",          # 'direct' | 'buoyancy'
         force_mask: jnp.ndarray | None = None,  # (H, W), 1 = forcing allowed
         unet_levels: int = 4,
+        cfe_features: tuple | None = None,  # conv widths; None = CFENet
+        # default. Wider CFEs cut per-step tracking drift on the indirect
+        # smoke task (the binding error term — RESULTS.md config-4 note).
         with_inflow: bool = False,  # batches carry per-sample 'inflow' —
         # a continuous smoke source (reference Inflow FieldEffect [R]); the
         # CFE sees it as an extra input channel.
@@ -56,6 +59,7 @@ class IncompressibleFluidPDE(PDE):
         self.control = control
         self.force_mask = force_mask
         self.unet_levels = unet_levels
+        self.cfe_features = cfe_features
         self.with_inflow = with_inflow
         self.dtype = dtype
 
@@ -103,7 +107,9 @@ class IncompressibleFluidPDE(PDE):
 
     def build_cfe(self):
         out = 1 if self.control == "buoyancy" else 2
-        return CFENet(out_channels=out, dim=2, dtype=self.dtype)
+        kw = {"features": tuple(self.cfe_features)} if self.cfe_features \
+            else {}
+        return CFENet(out_channels=out, dim=2, dtype=self.dtype, **kw)
 
     def build_op(self):
         return UNet(out_channels=1, levels=self.unet_levels, base_features=16,

@@ -97,7 +97,8 @@ def run_smoke_indirect(workdir: str, size: int = 64, n: int = 16,
         control_amplitude=control_amplitude)
     pde = IncompressibleFluidPDE(domain, cfg, control="buoyancy",
                                  with_inflow=True,
-                                 unet_levels=3 if size >= 32 else 2)
+                                 unet_levels=3 if size >= 32 else 2,
+                                 cfe_features=(48, 96, 96, 48))
     ccfg = CurriculumConfig(n=n, batch_size=batch_size,
                             cfe_iterations=iterations,
                             op_iterations=iterations,
