@@ -107,7 +107,7 @@ def cpu_baseline() -> dict:
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--measure-only"],
-            capture_output=True, text=True, env=env, timeout=3600,
+            capture_output=True, text=True, env=env, timeout=7200,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         line = out.stdout.strip().splitlines()[-1]
@@ -125,7 +125,11 @@ def cpu_baseline() -> dict:
 
 def main() -> None:
     if "--measure-only" in sys.argv:
-        r = measure(iters=3, warmup=1, trials=1)
+        # CPU comparator protocol: one warm (compiled) fused 2-step program,
+        # single trial — iterations take ~7 min each on this 1-core host,
+        # so the full TPU protocol (8-step fused, best-of-3) would blow the
+        # measurement window without changing the number materially.
+        r = measure(iters=2, warmup=1, trials=1)
         print(json.dumps(r))
         return
     r = measure()
@@ -136,10 +140,12 @@ def main() -> None:
         cores = base.get("host_cpu_cores")
     except Exception:
         vs, cores = float("nan"), None
+    base_desc = (f"same JAX program on {cores}-core host CPU" if cores
+                 else "unavailable (CPU re-measure failed)")
     print(json.dumps({
         "metric": "solve+backprop steps/sec, 64x64 smoke-control training "
-                  "iteration (n=16, batch=8, staggered OPs, CG projection); "
-                  f"baseline = same JAX program on {cores}-core host CPU",
+                  f"iteration (n=16, batch=8, staggered OPs, CG projection); "
+                  f"baseline = {base_desc}",
         "value": round(r["steps_per_sec"], 3),
         "unit": "steps/sec",
         "vs_baseline": round(vs, 3) if vs == vs else None,
