@@ -99,10 +99,14 @@ def run_smoke_indirect(workdir: str, size: int = 64, n: int = 16,
                                  with_inflow=True,
                                  unet_levels=3 if size >= 32 else 2,
                                  cfe_features=(48, 96, 96, 48))
+    # grad_clip + e2e_lr 1e-4: the wider CFE diverged catastrophically in
+    # e2e at lr 3e-4 unclipped (force cost blew up to 1e24 in the 4000-iter
+    # r2 run) — long-horizon solver-in-the-loop gradients need the clip.
     ccfg = CurriculumConfig(n=n, batch_size=batch_size,
                             cfe_iterations=iterations,
                             op_iterations=iterations,
                             e2e_iterations=iterations,
+                            e2e_lr=1e-4, grad_clip=1.0,
                             force_reg=3e-4)
     return run_curriculum(pde, ccfg, train, val, workdir, mesh=mesh)
 
