@@ -107,7 +107,8 @@ def main() -> None:
         result = run_smoke3d(
             workdir, size=8 if st else 24, n=2 if st else 8,
             iterations=it or (5 if st else 300),
-            num_train=8 if st else 64, num_val=4 if st else 16,
+            num_train=args.num_train or (8 if st else 64),
+            num_val=4 if st else 16,
             batch_size=4, mesh=mesh)
     else:
         result = fluid2d.run_natural_flow_128(
