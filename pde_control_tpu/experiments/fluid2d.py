@@ -78,6 +78,7 @@ def run_smoke_indirect(workdir: str, size: int = 64, n: int = 16,
                        iterations: int = 500, num_train: int = 256,
                        num_val: int = 32, batch_size: int = 8,
                        control_amplitude: float = 1.0,
+                       e2e_iterations: int | None = None,
                        mesh=None) -> dict:
     """Config 4: indirect smoke control — inflow-driven plume through an
     obstacle course, buoyancy-only forcing, targets from withheld control.
@@ -105,7 +106,7 @@ def run_smoke_indirect(workdir: str, size: int = 64, n: int = 16,
     ccfg = CurriculumConfig(n=n, batch_size=batch_size,
                             cfe_iterations=iterations,
                             op_iterations=iterations,
-                            e2e_iterations=iterations,
+                            e2e_iterations=e2e_iterations or iterations,
                             e2e_lr=1e-4, grad_clip=1.0,
                             force_reg=3e-4)
     return run_curriculum(pde, ccfg, train, val, workdir, mesh=mesh)
@@ -114,6 +115,7 @@ def run_smoke_indirect(workdir: str, size: int = 64, n: int = 16,
 def run_natural_flow_128(workdir: str, size: int = 64, n: int = 128,
                          iterations: int = 300, num_train: int = 128,
                          num_val: int = 16, batch_size: int = 8,
+                         e2e_iterations: int | None = None,
                          mesh=None) -> dict:
     """Config 5: batched 128-step forced-flow reconstruction, DP mesh —
     buoyant plumes under withheld random forcing (zero force can't match)."""
@@ -132,7 +134,7 @@ def run_natural_flow_128(workdir: str, size: int = 64, n: int = 128,
     ccfg = CurriculumConfig(n=n, batch_size=batch_size,
                             cfe_iterations=iterations,
                             op_iterations=iterations,
-                            e2e_iterations=iterations,
+                            e2e_iterations=e2e_iterations or iterations,
                             e2e_lr=1e-4,
                             e2e_stage_ns=tuple(
                                 s for s in (32, 64) if s < n) + (n,),

@@ -30,6 +30,9 @@ def main() -> None:
                    help="data-parallel over N devices")
     p.add_argument("--num-train", type=int, default=None,
                    help="override training-trajectory count")
+    p.add_argument("--e2e-iterations", type=int, default=None,
+                   help="override the e2e stage's iteration count "
+                        "(supervised stages keep --iterations)")
     args = p.parse_args()
 
     workdir = args.workdir or f"runs/{args.name}"
@@ -98,6 +101,7 @@ def main() -> None:
         result = fluid2d.run_smoke_indirect(
             workdir, size=16 if st else 64, n=4 if st else 16,
             iterations=it or (10 if st else 500),
+            e2e_iterations=args.e2e_iterations,
             num_train=args.num_train or (16 if st else 256),
             num_val=8 if st else 32,
             batch_size=4 if st else 8, mesh=mesh)
@@ -114,6 +118,7 @@ def main() -> None:
         result = fluid2d.run_natural_flow_128(
             workdir, size=16 if st else 64, n=8 if st else 128,
             iterations=it or (10 if st else 300),
+            e2e_iterations=args.e2e_iterations,
             num_train=args.num_train or (16 if st else 128),
             num_val=8 if st else 16,
             batch_size=4 if st else 8, mesh=mesh)
