@@ -32,7 +32,7 @@ ITERS = 8
 # must be measured under the SAME protocol as the TPU number (fused K-step
 # dispatch, warm-started pressure). Bumping this invalidates the cache and
 # triggers a CPU re-measure (~35 min on this 1-core host).
-PROTOCOL = "fused-multi-warmstart-v2"
+PROTOCOL = "fused-multi-warmstart-v3"  # v3: CPU measure-only iters 3→2
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_baseline.json")
 

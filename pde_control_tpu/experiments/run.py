@@ -44,6 +44,18 @@ def main() -> None:
 
     st = args.smoke_test
     it = args.iterations
+    # Flags only some experiments consume must not be silently ignored —
+    # a queued run would execute hours of chip time with defaults.
+    supports = {
+        "num_train": {"smoke_indirect", "smoke3d", "natural_flow_128",
+                      "shape_transition"},
+        "e2e_iterations": {"smoke_indirect", "smoke3d",
+                           "natural_flow_128"},
+    }
+    for flag, names in supports.items():
+        if getattr(args, flag) is not None and args.name not in names:
+            p.error(f"--{flag.replace('_', '-')} is not supported by "
+                    f"{args.name!r} (supported: {sorted(names)})")
 
     if args.name == "burgers_adjoint":
         # The paper's classical comparator: direct force optimization
@@ -95,7 +107,8 @@ def main() -> None:
         result = fluid2d.run_shape_transition(
             workdir, size=16 if st else 64, n=4 if st else 16,
             iterations=it or (10 if st else 500),
-            num_train=16 if st else 256, num_val=8 if st else 32,
+            num_train=args.num_train or (16 if st else 256),
+            num_val=8 if st else 32,
             batch_size=4 if st else 8, mesh=mesh)
     elif args.name == "smoke_indirect":
         result = fluid2d.run_smoke_indirect(
@@ -111,9 +124,10 @@ def main() -> None:
         result = run_smoke3d(
             workdir, size=8 if st else 24, n=2 if st else 8,
             iterations=it or (5 if st else 300),
+            e2e_iterations=args.e2e_iterations,
             num_train=args.num_train or (8 if st else 64),
             num_val=4 if st else 16,
-            batch_size=4, mesh=mesh)
+            batch_size=4 if st else 8, mesh=mesh)
     else:
         result = fluid2d.run_natural_flow_128(
             workdir, size=16 if st else 64, n=8 if st else 128,

@@ -34,8 +34,11 @@ def random_blobs_3d(key, batch: int, d: int, h: int, w: int,
                     sigma_range=(2.0, 4.0), margin: int = 4) -> jnp.ndarray:
     """Random Gaussian density blobs (B, D, H, W), peak 1."""
     k_pos, k_sig = jax.random.split(key)
-    lo = jnp.array([margin] * 3, jnp.float32)
-    hi = jnp.array([d - margin, h - margin, w - margin], jnp.float32)
+    # Clamp the margin so lo < hi even on tiny (smoke-test) volumes —
+    # margin=4 on an 8-cube would pin every blob at the center.
+    m = min(margin, max(1, min(d, h, w) // 3))
+    lo = jnp.array([m] * 3, jnp.float32)
+    hi = jnp.array([d - m, h - m, w - m], jnp.float32)
     pos = jax.random.uniform(k_pos, (batch, 3), minval=lo, maxval=hi)
     sig = jax.random.uniform(k_sig, (batch, 1, 1, 1),
                              minval=sigma_range[0], maxval=sigma_range[1])
@@ -123,6 +126,7 @@ def generate_forced_smoke3d_dataset(
 def run_smoke3d(workdir: str, size: int = 24, n: int = 8,
                 iterations: int = 300, num_train: int = 64,
                 num_val: int = 16, batch_size: int = 4,
+                e2e_iterations: int | None = None,
                 mesh=None) -> dict:
     """3D smoke control: direct forcing on a size³ volume."""
     domain = Domain3D.create(size, size, size)
@@ -140,6 +144,6 @@ def run_smoke3d(workdir: str, size: int = 24, n: int = 8,
     ccfg = CurriculumConfig(n=n, batch_size=batch_size,
                             cfe_iterations=iterations,
                             op_iterations=iterations,
-                            e2e_iterations=iterations,
+                            e2e_iterations=e2e_iterations or iterations,
                             force_reg=1e-4)
     return run_curriculum(pde, ccfg, train, val, workdir, mesh=mesh)

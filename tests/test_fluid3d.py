@@ -132,11 +132,15 @@ def test_gradient_through_3d_rollout():
 
 
 def test_warm_start_3d_matches_cold():
+    # backend='pcg' pins the ITERATIVE path: on an obstacle-free closed
+    # volume 'auto' resolves to the exact spectral solve, which ignores x0
+    # and would make this test vacuous.
     domain = Domain3D.create(D, H, W)
     warm = Fluid3DConfig(buoyancy=0.1, pressure_tol=1e-6,
-                         pressure_maxiter=600, warm_start_pressure=True)
+                         pressure_maxiter=600, warm_start_pressure=True,
+                         pressure_backend="pcg")
     cold = Fluid3DConfig(buoyancy=0.1, pressure_tol=1e-6,
-                         pressure_maxiter=600)
+                         pressure_maxiter=600, pressure_backend="pcg")
     s_warm = FluidState3D(velocity=Staggered3D.zeros(1, D, H, W),
                           density=_blob(),
                           pressure=jnp.zeros((1, D, H, W), jnp.float32))
