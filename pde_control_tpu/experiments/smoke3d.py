@@ -75,7 +75,7 @@ def generate_forced_smoke3d_dataset(
     num: int,
     n_steps: int,
     seed: int = 0,
-    force_amplitude: float = 0.35,
+    force_amplitude: float = 0.15,
     batch: int = 4,
 ) -> TrajectoryDataset:
     """Blobs pushed by withheld random constant-in-time 3D forces (the
@@ -132,18 +132,23 @@ def run_smoke3d(workdir: str, size: int = 24, n: int = 8,
     domain = Domain3D.create(size, size, size)
     cfg = Fluid3DConfig(dt=0.7, buoyancy=0.05, pressure_tol=1e-4,
                         pressure_maxiter=200, warm_start_pressure=True)
-    # force_amplitude 0.35: the first full run used 0.08 and the withheld
-    # forcing barely moved the 8-step trajectory (zero-force MSE 8.5e-5) —
-    # the task must deviate visibly from natural evolution to measure
-    # control (VERDICT r1 item 2 applies in 3D too).
+    # force_amplitude 0.15: 0.08 left the task near-degenerate (zero-force
+    # MSE 8.5e-5) and 0.35 pushed accumulated velocities past the
+    # max_shift=1 CFL clip (displacement ≈ 0.35·0.7·8 ≈ 2 cells), which
+    # saturates the clipped advection and flattens gradients (the r1
+    # training-stability finding). 0.15 keeps displacement ≲ 0.85 cells
+    # while the zero-force MSE stays well above the controller's floor.
     train = generate_forced_smoke3d_dataset(domain, cfg, num_train, n,
                                             seed=0)
     val = generate_forced_smoke3d_dataset(domain, cfg, num_val, n, seed=999)
     pde = IncompressibleFluid3DPDE(domain, cfg, control="direct",
                                    unet_levels=2)
+    # grad_clip: every unclipped solver-in-the-loop e2e stage this round
+    # eventually diverged (force costs blew up to 1e12-1e24).
     ccfg = CurriculumConfig(n=n, batch_size=batch_size,
                             cfe_iterations=iterations,
                             op_iterations=iterations,
                             e2e_iterations=e2e_iterations or iterations,
-                            force_reg=1e-4)
+                            e2e_lr=1e-4, grad_clip=1.0,
+                            force_reg=1e-5)
     return run_curriculum(pde, ccfg, train, val, workdir, mesh=mesh)
