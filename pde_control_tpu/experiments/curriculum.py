@@ -35,7 +35,10 @@ class CurriculumConfig:
     # Staged horizon growth for stage 3 (reference §3.4: "optionally staged
     # n: 8→16→…→n"); None = train at full n directly.
     e2e_stage_ns: tuple | None = None
-    grad_clip: float | None = None
+    # Global-norm gradient clip. Defaults ON: every unclipped
+    # solver-in-the-loop e2e stage observed in round 2 eventually diverged
+    # (force costs blew up to 1e12-1e24); None opts out.
+    grad_clip: float | None = 1.0
     seed: int = 0
     # Optimizer steps fused per device dispatch (train(steps_per_call=k)) —
     # each separate dispatch costs ~7 ms over the axon tunnel.
