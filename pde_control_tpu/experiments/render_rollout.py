@@ -41,9 +41,14 @@ def _build(name: str, workdir: str):
                                  obstacle_mask=jnp.asarray(obstacles))
         cfg = FluidConfig(dt=1.0, buoyancy=0.08, pressure_tol=1e-4,
                           pressure_maxiter=200)
-        val = generate_inflow_smoke_dataset(domain, cfg, 8, n, seed=999)
+        # MUST mirror experiments/fluid2d.py::run_smoke_indirect exactly —
+        # the checkpoint's CFE is the wide variant, and the eval data's
+        # withheld-control amplitude defines the task.
+        val = generate_inflow_smoke_dataset(domain, cfg, 8, n, seed=999,
+                                            control_amplitude=1.0)
         pde = IncompressibleFluidPDE(domain, cfg, control="buoyancy",
-                                     with_inflow=True, unet_levels=3)
+                                     with_inflow=True, unet_levels=3,
+                                     cfe_features=(48, 96, 96, 48))
         obstacle_mask = obstacles
     elif name == "shape_transition":
         domain = Domain2D.create(size, size)
