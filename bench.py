@@ -68,13 +68,16 @@ def measure(iters: int = ITERS, warmup: int = WARMUP, trials: int = 3) -> dict:
     # latency spikes that poison single-trial averages (measured). The CPU
     # baseline uses one trial — its iterations take minutes each.
     dt = float("inf")
+    trial_secs = []
     for _ in range(trials):
         t0 = time.time()
         app.progress_multi(batches)
         jax.block_until_ready(app.params)
-        dt = min(dt, (time.time() - t0) / iters)
-    return {
+        trial_secs.append((time.time() - t0) / iters)
+        dt = min(dt, trial_secs[-1])
+    result = {
         "iter_sec": dt,
+        "iter_sec_trials": [round(t, 6) for t in trial_secs],
         "steps_per_sec": N_STEPS * BATCH / dt,
         "compile_sec": compile_time,
         "platform": jax.devices()[0].platform,
@@ -82,6 +85,37 @@ def measure(iters: int = ITERS, warmup: int = WARMUP, trials: int = 3) -> dict:
         "host_cpu_cores": os.cpu_count(),
         "protocol": PROTOCOL,
     }
+    result.update(_cost_analysis(app, batches, dt))
+    return result
+
+
+def _cost_analysis(app, batches, iter_sec: float) -> dict:
+    """FLOP/bytes per iteration from XLA's cost model → MFU estimate.
+
+    Peak numbers: TPU v5e ≈ 197 TFLOP/s bf16 (the nets' compute dtype;
+    physics runs fp32 at half that — MFU is quoted against the bf16 roof,
+    matching RESULTS.md's roofline)."""
+    import jax
+
+    try:
+        compiled = app._train_multi.lower(
+            app.params, app.opt_state, batches).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        k = int(next(iter(jax.tree_util.tree_leaves(batches))).shape[0])
+        flops = float(cost.get("flops", 0.0)) / k
+        bytes_acc = float(cost.get("bytes accessed", 0.0)) / k
+        kind = jax.devices()[0].device_kind.lower()
+        peak = 197e12 if ("v5" in kind and "lite" in kind) else 197e12
+        return {
+            "flops_per_iter": flops,
+            "bytes_per_iter": bytes_acc,
+            "mfu": flops / iter_sec / peak if flops else None,
+            "mfu_peak_tflops_bf16": peak / 1e12,
+        }
+    except Exception:
+        return {}
 
 
 def cpu_baseline() -> dict:
@@ -133,6 +167,7 @@ def main() -> None:
         print(json.dumps(r))
         return
     r = measure()
+    base_sps = None
     try:
         base = cpu_baseline()
         base_sps = base["steps_per_sec"]
@@ -142,14 +177,30 @@ def main() -> None:
         vs, cores = float("nan"), None
     base_desc = (f"same JAX program on {cores}-core host CPU" if cores
                  else "unavailable (CPU re-measure failed)")
-    print(json.dumps({
+    # Self-describing bench line (VERDICT r2 item 6): the comparator is a
+    # frozen protocol-keyed cache (re-measured only on PROTOCOL bumps), and
+    # the line itself carries cores / trial spread / MFU so vs_baseline is
+    # interpretable without RESULTS.md.
+    out = {
         "metric": "solve+backprop steps/sec, 64x64 smoke-control training "
                   f"iteration (n=16, batch=8, staggered OPs, CG projection); "
                   f"baseline = {base_desc}",
         "value": round(r["steps_per_sec"], 3),
         "unit": "steps/sec",
         "vs_baseline": round(vs, 3) if vs == vs else None,
-    }))
+        "host_cpu_cores": os.cpu_count(),
+        "baseline_steps_per_sec": base_sps,
+        "baseline_protocol": PROTOCOL,
+        "baseline_note": "1-core CPU run of the same JAX program, frozen in "
+                         ".bench_baseline.json (~2x run-to-run drift when "
+                         "re-measured; the absolute TPU value is the claim)",
+        "tpu_trial_iter_secs": r.get("iter_sec_trials"),
+    }
+    if r.get("mfu") is not None:
+        out["mfu"] = round(r["mfu"], 5)
+        out["flops_per_iter"] = r["flops_per_iter"]
+        out["mfu_peak_tflops_bf16"] = r["mfu_peak_tflops_bf16"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

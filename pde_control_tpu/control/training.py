@@ -431,6 +431,7 @@ class ControlTraining:
     def _train_fused(self, iterations: int, log_every: int,
                      val_every: int | None, render: bool, k: int) -> dict:
         """Multi-step-per-dispatch training loop (see train)."""
+        requested = iterations
         if iterations % k:
             # Round UP to a whole number of K-step chunks: a shorter tail
             # chunk would be a second full fused program — another multi-
@@ -465,6 +466,14 @@ class ControlTraining:
                     next_val += val_every
                 v = self.evaluate()
                 self.logger.log(self.step_count, v, prefix="val/")
+        # Record the ACTUAL optimizer-step count (ADVICE r2): the round-up
+        # above means train(10, k=8) runs 16 steps — iteration-matched
+        # comparisons must read this, not the requested value.
+        last["iterations_run"] = iterations
+        if iterations != requested:
+            self.logger.log(self.step_count,
+                            {"iterations_requested": requested,
+                             "iterations_run": iterations}, prefix="train/")
         return last
 
     def _render_progress(self, batch) -> None:

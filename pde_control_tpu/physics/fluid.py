@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 
 from pde_control_tpu.grids import Domain2D, Staggered2D, centered_to_y_faces
@@ -66,6 +67,42 @@ class FluidConfig:
     # step's CG warm-starts from the previous step's solution. Same solution
     # to `pressure_tol`, fewer iterations; no effect on exact spectral path.
     warm_start_pressure: bool = False
+    # Whole-step fusion (ops/pallas_fluid.py): run the ENTIRE step —
+    # advection, forces, buoyancy, masking, PCG projection, correction — as
+    # one Pallas kernel with a hand-written VJP. 'auto' = on TPU whenever
+    # supported (2D, closed, shift advection, no viscosity, fits VMEM);
+    # 'pallas' forces it (interpret mode off-TPU — tests); 'off' disables.
+    fused: str = "auto"
+
+
+def _fused_applicable(state: "FluidState", domain: Domain2D,
+                      cfg: "FluidConfig", buoyancy_factor) -> bool:
+    """Trace-time gate for the whole-step Pallas kernel (see
+    FluidConfig.fused). The fused path is mathematically interchangeable
+    with the XLA path (tests/test_pallas_fluid.py pins fwd + VJP equality,
+    including subgradient tie points); this gate only restricts it to the
+    configurations the kernel implements."""
+    if cfg.fused == "off":
+        return False
+    from pde_control_tpu.ops.pallas_fluid import fused_step_fits
+
+    supported = (
+        buoyancy_factor is None
+        and cfg.advection_mode == "shift"
+        and not cfg.viscosity
+        and domain.closed
+        and state.density.ndim == 3
+        and fused_step_fits(*domain.grid_shape)
+    )
+    if cfg.fused == "pallas":
+        if not supported:
+            raise ValueError(
+                "FluidConfig.fused='pallas' but this configuration is not "
+                "supported by the fused kernel (needs 2D closed domain, "
+                "shift advection, viscosity=0, static buoyancy, grid "
+                "within the VMEM budget)")
+        return True
+    return supported and jax.default_backend() == "tpu"
 
 
 def divergence_free(
@@ -115,6 +152,24 @@ def fluid_step(
     adv = dict(dx=dx, mode=cfg.advection_mode, max_shift=cfg.max_shift)
     if inflow is None:
         inflow = state.inflow
+
+    if _fused_applicable(state, domain, cfg, buoyancy_factor):
+        from pde_control_tpu.ops.pallas_fluid import fused_fluid_step
+
+        vy, vx, rho, p = fused_fluid_step(
+            state.velocity.vy, state.velocity.vx, state.density,
+            domain.acc_y, domain.acc_x, domain.fluid_mask,
+            fy=None if force is None else force.vy,
+            fx=None if force is None else force.vx,
+            inflow=inflow, x0=state.pressure,
+            dt=dt, dx=dx, max_shift=cfg.max_shift, buoyancy=cfg.buoyancy,
+            closed=domain.closed, tol=cfg.pressure_tol,
+            maxiter=cfg.pressure_maxiter,
+            interpret=jax.default_backend() != "tpu")
+        return FluidState(
+            velocity=Staggered2D(vy=vy, vx=vx), density=rho,
+            inflow=state.inflow,
+            pressure=p if state.pressure is not None else None)
 
     density = advect_centered(state.density, state.velocity, dt, **adv)
     if inflow is not None:

@@ -171,6 +171,15 @@ def solve_pressure(
     unrelated to the primal pressure, so warm-starting it from the primal
     guess would only cost fp32 accuracy. The exact spectral paths ignore
     x0 entirely.
+
+    Forward-mode (JVP) caveat: custom_linear_solve reuses the primal
+    `solve` closure for tangent systems, so with x0 set the tangent solve
+    is seeded with the primal pressure guess — a starting point of
+    unrelated scale that can leave tangents less converged at tight
+    maxiter (one closure serves both; seeding only the primal is not
+    expressible here). Reverse mode — the training path — is unaffected
+    (cold transpose_solve above). Prefer warm_start_pressure=False when
+    differentiating this solve in forward mode.
     """
     fluid = lax.stop_gradient(domain.fluid_mask)
     geom = jax.tree_util.tree_map(lax.stop_gradient, domain)
