@@ -45,11 +45,16 @@ StepFn = Callable
 OpFn = Callable
 
 # Remat policy for rollout bodies: rematerialize everything EXCEPT the
-# pressure solutions (checkpoint_name'd in physics/poisson.py). In the
-# current step, p is consumed only linearly, so XLA DCEs the recomputed
-# solve anyway (measured: no time delta) — the policy guards against any
-# future nonlinear consumer of p silently re-running CG in backward.
-REMAT_POLICY = jax.checkpoint_policies.save_only_these_names("pressure")
+# pressure solutions (checkpoint_name'd in physics/poisson.py) and the
+# fused-step outputs (ops/pallas_fluid.py). In the XLA path, p is consumed
+# only linearly, so XLA DCEs the recomputed solve anyway (measured: no
+# time delta). The 'fluid_step' name is load-bearing: an opaque fused
+# kernel CANNOT be partially DCE'd, so without saving its outputs the
+# backward sweep re-runs the whole kernel — PCG solve included (measured
+# 0.83x). With them saved, the recomputed kernel call is dead (custom_vjp
+# residuals are the step inputs) and only the CFE/OP nets rematerialize.
+REMAT_POLICY = jax.checkpoint_policies.save_only_these_names(
+    "pressure", "fluid_step")
 
 
 

@@ -107,58 +107,79 @@ def _clip_grad(d, k: float):
 
 def _advect_window(f, dy, dx_, k: int):
     """out[i,j] = bilerp(f, i+dy[i,j], j+dx_[i,j]), |disp| clipped to k,
-    clamp boundary — ops/interp.py :: shift_bilinear_sample_2d, unbatched."""
+    clamp boundary — ops/interp.py :: shift_bilinear_sample_2d, unbatched.
+    Weights are hoisted out of the double loop (Mosaic does not CSE the
+    36 redundant hat evaluations the naive nesting produces)."""
     m, n = f.shape
     dyc = jnp.clip(dy, -float(k), float(k))
     dxc = jnp.clip(dx_, -float(k), float(k))
     fp = _edge_pad2(f, k)
+    wys = [_hat(dyc - oy) for oy in range(-k, k + 2)]
+    wxs = [_hat(dxc - ox) for ox in range(-k, k + 2)]
     out = jnp.zeros_like(f)
-    for oy in range(-k, k + 2):
-        wy = _hat(dyc - oy)
+    # Factored sum: Σ_oy wy·(Σ_ox row·wx) — (2k+2)² mult-adds for the inner
+    # sums plus (2k+2) outer multiplies, vs (2k+2)²·2 for the naive form.
+    for iy, oy in enumerate(range(-k, k + 2)):
         row = fp[k + oy:k + oy + m, :]
-        for ox in range(-k, k + 2):
-            wx = _hat(dxc - ox)
-            out = out + row[:, k + ox:k + ox + n] * (wy * wx)
+        inner = jnp.zeros_like(f)
+        for ix, ox in enumerate(range(-k, k + 2)):
+            inner = inner + row[:, k + ox:k + ox + n] * wxs[ix]
+        out = out + inner * wys[iy]
     return out
 
 
-def _advect_window_T(g, f, dy, dx_, k: int):
+def _advect_window_T(g, f, dy, dx_, k: int, scratch=None):
     """Adjoint of _advect_window: (ḡf, ḡdy, ḡdx) from the output cotangent.
 
-    Field adjoint: each window term scatters g·w back by the reverse shift
-    (zero-padded accumulation), then the edge-clamp fold maps pad-margin
-    mass onto edge cells. Displacement adjoint: hat-derivative windows with
-    JAX's tie conventions, chained through the clip."""
+    Field adjoint: each window term scatters g·w back by the reverse shift,
+    then the edge-clamp fold maps pad-margin mass onto edge cells.
+    Displacement adjoint: hat-derivative windows with JAX's tie conventions,
+    chained through the clip. `scratch`, when given, is a VMEM ref used to
+    accumulate the scattered terms in place — (m, n)-sized subregion
+    read-modify-writes instead of full-padded-array adds (the kernels pass
+    one; the scratch-free path exists for plain-jnp reuse)."""
     m, n = f.shape
     kf = float(k)
     dyc = jnp.clip(dy, -kf, kf)
     dxc = jnp.clip(dx_, -kf, kf)
     fp = _edge_pad2(f, k)
     mp, np_ = m + 2 * k + 1, n + 2 * k + 1
-    acc = jnp.zeros((mp, np_), f.dtype)
+    offs = list(range(-k, k + 2))
+    wys = [_hat(dyc - oy) for oy in offs]
+    wyps = [_hat_grad(dyc - oy) for oy in offs]
+    wxs = [_hat(dxc - ox) for ox in offs]
+    wxps = [_hat_grad(dxc - ox) for ox in offs]
+    # Hoisted g-weighted x-windows: each is used (2k+2) times below.
+    gwxs = [g * w for w in wxs]
+    gwxps = [g * w for w in wxps]
     s_dy = jnp.zeros_like(f)
     s_dx = jnp.zeros_like(f)
-    zc = jnp.zeros((mp, np_), f.dtype)
-    for oy in range(-k, k + 2):
-        wy = _hat(dyc - oy)
-        wyp = _hat_grad(dyc - oy)
+    if scratch is not None:
+        scratch[0:mp, 0:np_] = jnp.zeros((mp, np_), f.dtype)
+    acc = None if scratch is not None else jnp.zeros((mp, np_), f.dtype)
+    for iy, oy in enumerate(offs):
         row = fp[k + oy:k + oy + m, :]
-        for ox in range(-k, k + 2):
-            wx = _hat(dxc - ox)
-            wxp = _hat_grad(dxc - ox)
+        ady = jnp.zeros_like(f)
+        adx = jnp.zeros_like(f)
+        for ix, ox in enumerate(offs):
             val = row[:, k + ox:k + ox + n]
-            s_dy = s_dy + val * (wyp * wx) * g
-            s_dx = s_dx + val * (wy * wxp) * g
-            contrib = g * (wy * wx)
-            # zero-padded placement at offset (k+oy, k+ox)
-            pr = [jnp.zeros((k + oy, n), f.dtype), contrib,
-                  jnp.zeros((k + 1 - oy, n), f.dtype)]
-            col = jnp.concatenate([r for r in pr if r.shape[0]], axis=0)
-            pc = [jnp.zeros((mp, k + ox), f.dtype), col,
-                  jnp.zeros((mp, k + 1 - ox), f.dtype)]
-            acc = acc + jnp.concatenate([c for c in pc if c.shape[1]],
-                                        axis=1)
-    del zc
+            ady = ady + val * gwxs[ix]
+            adx = adx + val * gwxps[ix]
+            contrib = gwxs[ix] * wys[iy]
+            if scratch is not None:
+                scratch[k + oy:k + oy + m, k + ox:k + ox + n] += contrib
+            else:
+                pr = [jnp.zeros((k + oy, n), f.dtype), contrib,
+                      jnp.zeros((k + 1 - oy, n), f.dtype)]
+                col = jnp.concatenate([r for r in pr if r.shape[0]], axis=0)
+                pc = [jnp.zeros((mp, k + ox), f.dtype), col,
+                      jnp.zeros((mp, k + 1 - ox), f.dtype)]
+                acc = acc + jnp.concatenate(
+                    [c for c in pc if c.shape[1]], axis=1)
+        s_dy = s_dy + ady * wyps[iy]
+        s_dx = s_dx + adx * wys[iy]
+    if scratch is not None:
+        acc = scratch[0:mp, 0:np_]
     g_f = _edge_pad2_T(acc, k, m, n)
     g_dy = s_dy * _clip_grad(dy, kf)
     g_dx = s_dx * _clip_grad(dx_, kf)
@@ -327,6 +348,7 @@ def _bwd_kernel(*refs, dt, dx, k, buoy, closed, tol, maxiter,
     qxt = next(it)[...]
     inv_lam = next(it)[...]
     outs = list(it)
+    scratch = outs.pop()  # VMEM scratch ref (after the outputs)
 
     s = -dt / dx
 
@@ -370,21 +392,21 @@ def _bwd_kernel(*refs, dt, dx, k, buoy, closed, tol, maxiter,
 
     # density advection: rho1 = W(rho; s·vy_c, s·vx_c)
     g_rho0, g_dyr, g_dxr = _advect_window_T(
-        g_rho1_tot, rho, s * vy_c, s * vx_c, k)
+        g_rho1_tot, rho, s * vy_c, s * vx_c, k, scratch=scratch)
     g_vyc = g_vyc + s * g_dyr
     g_vxc = g_vxc + s * g_dxr
 
     # vy self-advection: vy1 = W(vy; s·vy, s·Y(vx_c))
     vx_at_y = _to_y_faces(vx_c)
     g_vy0f, g_dyy, g_dxy = _advect_window_T(
-        g_vy1, vy, s * vy, s * vx_at_y, k)
+        g_vy1, vy, s * vy, s * vx_at_y, k, scratch=scratch)
     g_vy0 = g_vy0f + s * g_dyy
     g_vxc = g_vxc + _to_y_faces_T(s * g_dxy)
 
     # vx self-advection: vx1 = W(vx; s·X(vy_c), s·vx)
     vy_at_x = _to_x_faces(vy_c)
     g_vx0f, g_dyx, g_dxx = _advect_window_T(
-        g_vx1, vx, s * vy_at_x, s * vx, k)
+        g_vx1, vx, s * vy_at_x, s * vx, k, scratch=scratch)
     g_vx0 = g_vx0f + s * g_dxx
     g_vyc = g_vyc + _to_x_faces_T(s * g_dyx)
 
@@ -518,12 +540,17 @@ def _make_fused_step(dt: float, dx: float, k: int, buoy: float,
             out_shape.append(jax.ShapeDtypeStruct((b, h, w), f32))
             out_specs.append(_batch_spec(h, w))
         kernel = functools.partial(_bwd_kernel, **statics)
+        # One shared VMEM scratch, sized for the largest padded adjoint
+        # accumulator among the three advection transposes ((h+1, w) /
+        # (h, w+1) / (h, w) fields, each padded k before / k+1 after).
         outs = pl.pallas_call(
             kernel,
             grid=(b,),
             out_shape=tuple(out_shape),
             in_specs=in_specs,
             out_specs=tuple(out_specs),
+            scratch_shapes=[
+                pltpu.VMEM((h + 2 * k + 2, w + 2 * k + 2), f32)],
             interpret=interpret,
         )(*operands)
         outs = list(outs)
@@ -561,6 +588,8 @@ def fused_fluid_step(vy, vx, rho, acc_y, acc_x, fluid,
     """One fused fluid step (see module docstring). Returns
     (vy', vx', rho', p). Differentiable w.r.t. vy/vx/rho/fy/fx/inflow;
     x0 and geometry get zero cotangents (parity with physics/fluid.py)."""
+    from jax.ad_checkpoint import checkpoint_name
+
     step = _make_fused_step(
         float(dt), float(dx), int(max_shift), float(buoyancy), bool(closed),
         float(tol), int(maxiter), fy is not None, inflow is not None,
@@ -573,4 +602,11 @@ def fused_fluid_step(vy, vx, rho, acc_y, acc_x, fluid,
         args["inflow"] = inflow
     if x0 is not None:
         args["x0"] = x0
-    return step(args)
+    out = step(args)
+    # Name the outputs for remat policies (sequences.REMAT_POLICY saves
+    # them): under whole-body remat an opaque fused kernel would otherwise
+    # be recomputed IN FULL on the backward sweep — including its PCG solve
+    # (3 solves/step instead of 2; measured 0.83x vs the XLA path). With
+    # the outputs saved, the recomputed forward kernel is dead code (the
+    # custom_vjp residuals are the step INPUTS) and XLA DCEs it.
+    return tuple(checkpoint_name(o, "fluid_step") for o in out)

@@ -69,9 +69,14 @@ class FluidConfig:
     warm_start_pressure: bool = False
     # Whole-step fusion (ops/pallas_fluid.py): run the ENTIRE step —
     # advection, forces, buoyancy, masking, PCG projection, correction — as
-    # one Pallas kernel with a hand-written VJP. 'auto' = on TPU whenever
-    # supported (2D, closed, shift advection, no viscosity, fits VMEM);
-    # 'pallas' forces it (interpret mode off-TPU — tests); 'off' disables.
+    # one Pallas kernel with a hand-written VJP. 'pallas' forces it when
+    # supported (2D, closed, shift advection, no viscosity, static buoyancy,
+    # fits VMEM; interpret mode off-TPU — tests); 'off' disables; 'auto'
+    # currently resolves to the UNFUSED path: measured on v5e at 64² n=16
+    # batch 8 the monolithic kernel is 0.75-0.83× the XLA composition
+    # (16-step rollout fwd+bwd 8.12 vs 6.12 ms) — the step is bounded by
+    # solver + VPU compute, not kernel count, so fusing buys nothing and the
+    # in-kernel advection codegen loses to XLA's (RESULTS.md round-3 note).
     fused: str = "auto"
 
 
@@ -102,7 +107,9 @@ def _fused_applicable(state: "FluidState", domain: Domain2D,
                 "shift advection, viscosity=0, static buoyancy, grid "
                 "within the VMEM budget)")
         return True
-    return supported and jax.default_backend() == "tpu"
+    # 'auto': measured slower than the XLA composition on v5e (see
+    # FluidConfig.fused docstring) — route to the unfused path.
+    return False
 
 
 def divergence_free(
