@@ -143,10 +143,10 @@ def random_inflow_3d(key, batch: int, d: int, h: int, w: int,
     bottom wall at random (y, x) — the 3D Inflow FieldEffect analog."""
     pos = jax.random.uniform(
         key, (batch, 2, 1, 1, 1),
-        minval=jnp.array([[0.2 * h], [0.2 * w]],
-                         jnp.float32)[None, :, :, None],
-        maxval=jnp.array([[0.8 * h], [0.8 * w]],
-                         jnp.float32)[None, :, :, None])
+        minval=jnp.array([0.2 * h, 0.2 * w],
+                         jnp.float32)[None, :, None, None, None],
+        maxval=jnp.array([0.8 * h, 0.8 * w],
+                         jnp.float32)[None, :, None, None, None])
     zz = jnp.arange(d, dtype=jnp.float32)[None, :, None, None]
     yy = jnp.arange(h, dtype=jnp.float32)[None, None, :, None]
     xx = jnp.arange(w, dtype=jnp.float32)[None, None, None, :]

@@ -17,7 +17,67 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+class Conv(nn.Conv):
+    """nn.Conv with an optional Pallas fast path for the hot shape.
+
+    2D 3×3 stride-1 SAME convs — the entire CFE stack and the full-res
+    U-net layers — route to `ops/pallas_conv.py :: conv3x3` (one
+    VMEM-resident im2col matmul; XLA's conv lowering sustains ~13 TFLOP/s
+    at these shapes vs ~157 measured chip ceiling). Everything else
+    (strided, CIRCULAR, 1×1, 1D/3D, too-big-for-VMEM) falls back to the
+    stock nn.Conv. The subclass keeps the class name `Conv` so flax
+    auto-naming — and therefore every existing checkpoint — is unchanged.
+
+    conv_impl: 'xla' = always stock; 'pallas' = fast path when eligible
+    (interpret mode off-TPU); 'auto' = fast path on TPU only.
+    """
+
+    conv_impl: str = "xla"
+
+    def _pallas_eligible(self, x) -> bool:
+        from pde_control_tpu.ops.pallas_conv import conv3x3_fits
+
+        def _ones(v):
+            if v is None or v == 1:
+                return True
+            return all(s == 1 for s in (
+                (v,) if isinstance(v, int) else tuple(v)))
+
+        return (
+            x.ndim == 4
+            and tuple(self.kernel_size) == (3, 3)
+            and self.padding == "SAME"
+            and _ones(self.strides)
+            and _ones(self.input_dilation)
+            and _ones(self.kernel_dilation)
+            and self.feature_group_count == 1
+            and conv3x3_fits(x.shape[1], x.shape[2], x.shape[3],
+                             self.features)
+        )
+
+    @nn.compact
+    def __call__(self, x):
+        impl = self.conv_impl
+        on_tpu = jax.default_backend() == "tpu"
+        use = (impl == "pallas" or (impl == "auto" and on_tpu))
+        if not (use and self._pallas_eligible(x)):
+            return super().__call__(x)
+        from pde_control_tpu.ops.pallas_conv import conv3x3
+
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (*self.kernel_size, x.shape[-1], self.features),
+            self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype)
+                if self.use_bias else None)
+        dtype = self.dtype or x.dtype
+        y = conv3x3(x, kernel, bias, dtype=dtype, interpret=not on_tpu)
+        return y.astype(dtype)
 
 
 class ConvBlock(nn.Module):
@@ -25,13 +85,16 @@ class ConvBlock(nn.Module):
     dim: int
     padding: str = "SAME"
     dtype: jnp.dtype = jnp.float32
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
         k = (3,) * self.dim
-        x = nn.Conv(self.features, k, padding=self.padding, dtype=self.dtype)(x)
+        x = Conv(self.features, k, padding=self.padding, dtype=self.dtype,
+                 conv_impl=self.conv_impl)(x)
         x = nn.leaky_relu(x, 0.1)
-        x = nn.Conv(self.features, k, padding=self.padding, dtype=self.dtype)(x)
+        x = Conv(self.features, k, padding=self.padding, dtype=self.dtype,
+                 conv_impl=self.conv_impl)(x)
         x = nn.leaky_relu(x, 0.1)
         return x
 
@@ -56,30 +119,34 @@ class UNet(nn.Module):
     dim: int = 2
     padding: str = "SAME"
     dtype: jnp.dtype = jnp.float32
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
         in_dtype = x.dtype
         x = x.astype(self.dtype)
         k = (3,) * self.dim
+        ci = self.conv_impl
         skips = []
         feats = self.base_features
         for _ in range(self.levels):
-            x = ConvBlock(feats, self.dim, self.padding, self.dtype)(x)
+            x = ConvBlock(feats, self.dim, self.padding, self.dtype, ci)(x)
             skips.append(x)
-            x = nn.Conv(
+            x = Conv(
                 feats * 2, k, strides=(2,) * self.dim,
-                padding=self.padding, dtype=self.dtype,
+                padding=self.padding, dtype=self.dtype, conv_impl=ci,
             )(x)
             feats *= 2
-        x = ConvBlock(feats, self.dim, self.padding, self.dtype)(x)
+        x = ConvBlock(feats, self.dim, self.padding, self.dtype, ci)(x)
         for skip in reversed(skips):
             feats //= 2
             x = _resize_up(x, self.dim)
-            x = nn.Conv(feats, k, padding=self.padding, dtype=self.dtype)(x)
+            x = Conv(feats, k, padding=self.padding, dtype=self.dtype,
+                     conv_impl=ci)(x)
             x = jnp.concatenate([x, skip], axis=-1)
-            x = ConvBlock(feats, self.dim, self.padding, self.dtype)(x)
-        x = nn.Conv(self.out_channels, (1,) * self.dim, dtype=self.dtype)(x)
+            x = ConvBlock(feats, self.dim, self.padding, self.dtype, ci)(x)
+        x = Conv(self.out_channels, (1,) * self.dim, dtype=self.dtype,
+                 conv_impl=ci)(x)
         return x.astype(in_dtype)
 
 
@@ -99,6 +166,7 @@ class CFENet(nn.Module):
     dim: int = 2
     padding: str = "SAME"
     dtype: jnp.dtype = jnp.float32
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -106,9 +174,10 @@ class CFENet(nn.Module):
         x = x.astype(self.dtype)
         k = (3,) * self.dim
         for f in self.features:
-            x = nn.Conv(f, k, padding=self.padding, dtype=self.dtype)(x)
+            x = Conv(f, k, padding=self.padding, dtype=self.dtype,
+                     conv_impl=self.conv_impl)(x)
             x = nn.leaky_relu(x, 0.1)
-        x = nn.Conv(self.out_channels, k, padding=self.padding,
-                    dtype=self.dtype,
-                    kernel_init=nn.initializers.zeros)(x)
+        x = Conv(self.out_channels, k, padding=self.padding,
+                 dtype=self.dtype, conv_impl=self.conv_impl,
+                 kernel_init=nn.initializers.zeros)(x)
         return x.astype(in_dtype)
