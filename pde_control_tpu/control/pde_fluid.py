@@ -51,6 +51,8 @@ class IncompressibleFluidPDE(PDE):
         # CFE sees it as an extra input channel.
         dtype=jnp.bfloat16,  # net *compute* dtype (params stay fp32) — the
         # MXU-native choice; physics stays fp32 throughout.
+        conv_impl: str = "xla",  # models/nets.py :: Conv — 'pallas' routes
+        # eligible 3×3 convs to the im2col-matmul kernel (ops/pallas_conv).
     ):
         if control not in ("direct", "buoyancy"):
             raise ValueError(f"unknown control mode {control!r}")
@@ -62,6 +64,7 @@ class IncompressibleFluidPDE(PDE):
         self.cfe_features = cfe_features
         self.with_inflow = with_inflow
         self.dtype = dtype
+        self.conv_impl = conv_impl
 
     # solver ---------------------------------------------------------------
     def step(self, state: FluidState, force: Staggered2D | None) -> FluidState:
@@ -109,11 +112,12 @@ class IncompressibleFluidPDE(PDE):
         out = 1 if self.control == "buoyancy" else 2
         kw = {"features": tuple(self.cfe_features)} if self.cfe_features \
             else {}
-        return CFENet(out_channels=out, dim=2, dtype=self.dtype, **kw)
+        return CFENet(out_channels=out, dim=2, dtype=self.dtype,
+                      conv_impl=self.conv_impl, **kw)
 
     def build_op(self):
         return UNet(out_channels=1, levels=self.unet_levels, base_features=16,
-                    dim=2, dtype=self.dtype)
+                    dim=2, dtype=self.dtype, conv_impl=self.conv_impl)
 
     def op_inputs(self, o_start, o_end):
         mask = jnp.broadcast_to(
