@@ -31,6 +31,8 @@ def main() -> None:
                    help="data-parallel over N devices")
     p.add_argument("--num-train", type=int, default=None,
                    help="override training-trajectory count")
+    p.add_argument("--num-val", type=int, default=None,
+                   help="override validation-trajectory count")
     p.add_argument("--e2e-iterations", type=int, default=None,
                    help="override the e2e stage's iteration count "
                         "(supervised stages keep --iterations)")
@@ -62,6 +64,8 @@ def main() -> None:
                     "shape_transition", "smoke_128"},
         "seed": {"smoke_indirect", "natural_flow_128", "shape_transition",
                  "smoke3d", "smoke3d_indirect", "smoke_128"},
+        "num_val": {"smoke_indirect", "natural_flow_128", "shape_transition",
+                    "smoke_128"},
     }
     for flag, names in supports.items():
         if getattr(args, flag) is not None and args.name not in names:
@@ -126,7 +130,7 @@ def main() -> None:
             workdir, size=16 if st else 64, n=4 if st else 16,
             iterations=it or (10 if st else 500),
             num_train=args.num_train or (16 if st else 256),
-            num_val=8 if st else 32,
+            num_val=args.num_val or (8 if st else 32),
             batch_size=4 if st else 8, mesh=mesh,
             datadir=args.datadir, seed=args.seed or 0)
     elif args.name == "smoke_128":
@@ -138,7 +142,7 @@ def main() -> None:
             iterations=it or (10 if st else 1000),
             e2e_iterations=args.e2e_iterations,
             num_train=args.num_train or (16 if st else 256),
-            num_val=8 if st else 32,
+            num_val=args.num_val or (8 if st else 32),
             batch_size=4 if st else 8, mesh=mesh,
             datadir=args.datadir, seed=args.seed or 0)
     elif args.name == "smoke_indirect":
@@ -147,7 +151,7 @@ def main() -> None:
             iterations=it or (10 if st else 500),
             e2e_iterations=args.e2e_iterations,
             num_train=args.num_train or (16 if st else 256),
-            num_val=8 if st else 32,
+            num_val=args.num_val or (8 if st else 32),
             batch_size=4 if st else 8, mesh=mesh,
             datadir=args.datadir, seed=args.seed or 0)
     elif args.name == "smoke3d":
@@ -176,7 +180,7 @@ def main() -> None:
             iterations=it or (10 if st else 300),
             e2e_iterations=args.e2e_iterations,
             num_train=args.num_train or (16 if st else 128),
-            num_val=8 if st else 16,
+            num_val=args.num_val or (8 if st else 16),
             batch_size=4 if st else 8, mesh=mesh,
             datadir=args.datadir, seed=args.seed or 0)
 

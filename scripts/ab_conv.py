@@ -43,8 +43,9 @@ def trial(app, batches) -> float:
 
 if __name__ == "__main__":
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    impls = sys.argv[2].split(",") if len(sys.argv) > 2 else ["xla", "pallas"]
     arms = {}
-    for impl in ("xla", "pallas"):
+    for impl in impls:
         app, batches, compile_s = build(impl)
         trial(app, batches)  # second warmup (post-compile caches)
         arms[impl] = (app, batches)
