@@ -58,10 +58,21 @@ def measure(iters: int = ITERS, warmup: int = WARMUP, trials: int = 3) -> dict:
         lambda x: np.stack([x] * iters), one))
     jax.block_until_ready(batches)
 
+    # Sync discipline (learned round 3): on the axon tunnel,
+    # block_until_ready does NOT reliably wait for repeated identical
+    # dispatches; the trustworthy sync is fetching a VALUE from the
+    # output of a donated-argument chain (progress_multi's state changes
+    # every call). One scalar fetch per trial, outside the per-iteration
+    # denominator.
+    def _run_synced():
+        m = app.progress_multi(batches)
+        import numpy as _np
+
+        return float(_np.asarray(m["loss"])[-1])
+
     t0 = time.time()
     for _ in range(warmup):
-        app.progress_multi(batches)
-    jax.block_until_ready(app.params)
+        _run_synced()
     compile_time = time.time() - t0
 
     # Best-of-N trials: the axon device tunnel has sporadic multi-10ms
@@ -71,8 +82,7 @@ def measure(iters: int = ITERS, warmup: int = WARMUP, trials: int = 3) -> dict:
     trial_secs = []
     for _ in range(trials):
         t0 = time.time()
-        app.progress_multi(batches)
-        jax.block_until_ready(app.params)
+        _run_synced()
         trial_secs.append((time.time() - t0) / iters)
         dt = min(dt, trial_secs[-1])
     result = {
@@ -89,14 +99,27 @@ def measure(iters: int = ITERS, warmup: int = WARMUP, trials: int = 3) -> dict:
     return result
 
 
-def _cost_analysis(app, batches, iter_sec: float) -> dict:
-    """FLOP/bytes per iteration from XLA's cost model → MFU estimate.
+_PEAK_TFLOPS_BF16 = 197.0
 
-    Peak numbers: TPU v5e ≈ 197 TFLOP/s bf16 (the nets' compute dtype;
-    physics runs fp32 at half that — MFU is quoted against the bf16 roof,
-    matching RESULTS.md's roofline)."""
+
+def _cost_analysis(app, batches, iter_sec: float) -> dict:
+    """FLOP per iteration → MFU estimate, two ways.
+
+    `flops_per_iter_xla` is whole-program XLA cost analysis — an
+    UNDERCOUNT on this program (round-3 audit: scan bodies are counted
+    once, so the 16-step rollout and fused K-iteration loops are ~16-20×
+    underweighted; it reported 21.6 GFLOP/iter where the analytic count
+    gives ~380). `flops_per_iter` (the headline, feeding `mfu`) is the
+    analytic count: per-call net FLOPs from XLA cost analysis of the
+    UNSCANNED single applies (accurate — no loops), times the known call
+    multiplicities (16 CFE + 15 OP calls per iteration), times 3 for
+    fwd+bwd (dX + dW each ≈ one forward), plus the same treatment of one
+    physics step. Peak: TPU v5e ≈ 197 TFLOP/s bf16 (the nets' compute
+    dtype; physics runs fp32 at half that — MFU is quoted against the
+    bf16 roof)."""
     import jax
 
+    out = {}
     try:
         compiled = app._train_multi.lower(
             app.params, app.opt_state, batches).compile()
@@ -104,18 +127,62 @@ def _cost_analysis(app, batches, iter_sec: float) -> dict:
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         k = int(next(iter(jax.tree_util.tree_leaves(batches))).shape[0])
-        flops = float(cost.get("flops", 0.0)) / k
-        bytes_acc = float(cost.get("bytes accessed", 0.0)) / k
-        kind = jax.devices()[0].device_kind.lower()
-        peak = 197e12 if ("v5" in kind and "lite" in kind) else 197e12
-        return {
-            "flops_per_iter": flops,
-            "bytes_per_iter": bytes_acc,
-            "mfu": flops / iter_sec / peak if flops else None,
-            "mfu_peak_tflops_bf16": peak / 1e12,
-        }
+        out["flops_per_iter_xla"] = float(cost.get("flops", 0.0)) / k
+        out["bytes_per_iter_xla"] = float(cost.get("bytes accessed", 0.0)) / k
     except Exception:
-        return {}
+        pass
+    try:
+        out.update(_analytic_mfu(app, iter_sec))
+    except Exception:
+        pass
+    return out
+
+
+def _flops_of(fn, *args) -> float:
+    import jax
+
+    cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    return float(cost.get("flops", 0.0))
+
+
+def _analytic_mfu(app, iter_sec: float) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    pde = app.pde
+    cfe = pde.build_cfe()
+    op = pde.build_op()
+    xc = jnp.zeros((BATCH, H, H, 5), jnp.float32)   # cfe_inputs channels
+    xo = jnp.zeros((BATCH, H, H, 3), jnp.float32)   # op_inputs channels
+    pc = cfe.init(jax.random.PRNGKey(0), xc)
+    po = op.init(jax.random.PRNGKey(0), xo)
+    f_cfe = _flops_of(lambda p, x: cfe.apply(p, x), pc, xc)
+    f_op = _flops_of(lambda p, x: op.apply(p, x), po, xo)
+    # one physics step fwd (advect + buoyancy + projection at maxiter)
+    from pde_control_tpu.physics.fluid import fluid_step
+
+    state = pde.initial_state(
+        {"obs": jnp.zeros((BATCH, N_STEPS + 1, H, H, 1), jnp.float32),
+         "vy0": jnp.zeros((BATCH, H + 1, H), jnp.float32),
+         "vx0": jnp.zeros((BATCH, H, H + 1), jnp.float32)})
+    f_phys = _flops_of(
+        lambda s: fluid_step(s, pde.domain, pde.cfg), state)
+    n_op_calls = 2 ** (N_STEPS.bit_length() - 1) - 1  # 15 for n=16
+    fwd = N_STEPS * (f_cfe + f_phys) + n_op_calls * f_op
+    total = 3.0 * fwd  # fwd + bwd(dX)+bwd(dW); optimizer negligible
+    peak = _PEAK_TFLOPS_BF16 * 1e12
+    return {
+        "flops_per_iter": total,
+        "flops_split": {"cfe_call": f_cfe, "op_call": f_op,
+                        "phys_step": f_phys},
+        "mfu": total / iter_sec / peak,
+        "mfu_peak_tflops_bf16": _PEAK_TFLOPS_BF16,
+        "mfu_note": "analytic count: unscanned per-call XLA flops x call "
+                    "multiplicities x3 for backward (XLA whole-program "
+                    "cost analysis undercounts scan bodies ~18x)",
+    }
 
 
 def cpu_baseline() -> dict:
