@@ -23,7 +23,7 @@ def main() -> None:
         "burgers_chain", "burgers_hierarchical", "shape_transition",
         "smoke_indirect", "natural_flow_128", "burgers_adjoint",
         "compare_burgers", "compare_smoke", "compare_smoke_long",
-        "smoke3d", "smoke3d_indirect", "smoke_128"])
+        "compare_smoke_64", "smoke3d", "smoke3d_indirect", "smoke_128"])
     p.add_argument("--workdir", default=None)
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--smoke-test", action="store_true")
@@ -113,6 +113,13 @@ def main() -> None:
 
         result = compare_smoke_long(workdir, smoke_test=st,
                                     **({"iterations": it} if it else {}))
+    elif args.name == "compare_smoke_64":
+        from pde_control_tpu.experiments.compare_schemes import (
+            compare_smoke_64,
+        )
+
+        result = compare_smoke_64(workdir, smoke_test=st,
+                                  **({"iterations": it} if it else {}))
     elif args.name == "burgers_chain":
         result = burgers.run_chain_supervised(
             workdir, n=4 if st else 32,
