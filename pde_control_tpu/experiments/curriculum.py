@@ -227,8 +227,16 @@ def evaluate_control(app: ControlTraining, val_dataset, n: int,
         per_sample_mse.append(np.mean(err[n - 1] ** 2, axis=sp_axes))
         per_sample_zero_mse.append(
             np.mean(err_zero[n - 1] ** 2, axis=sp_axes))
-        frame_sse += np.sum(np.mean(err ** 2, axis=sp_axes), axis=1)
-        frame_sse_zero += np.sum(np.mean(err_zero ** 2, axis=sp_axes),
+        # err is (n, B, *spatial, C): average the spatial/channel axes
+        # (from 2), then SUM over batch axis 1 so frame_sse/frame_count is
+        # the per-frame mean. (Round-3 fix: sp_axes — valid for the
+        # batch-leading err[n-1] — was applied here too, averaging over
+        # batch and re-dividing by frame_count: curves came out
+        # eval_batch× too small. per_frame_mse[-1] must equal
+        # final_state_mse; tests/test_curriculum.py pins this.)
+        fr_axes = tuple(range(2, err.ndim))
+        frame_sse += np.sum(np.mean(err ** 2, axis=fr_axes), axis=1)
+        frame_sse_zero += np.sum(np.mean(err_zero ** 2, axis=fr_axes),
                                  axis=1)
         frame_count += err.shape[1]
         cost_sums.append(np.sum(np.asarray(costs), axis=0))

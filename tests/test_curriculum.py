@@ -44,6 +44,16 @@ def test_staged_curriculum_runs_and_evaluates(tmp_path):
     ev = results["eval"]
     assert ev["final_state_mse"] == ev["final_state_mse"]  # finite
     assert ev["zero_force_final_mse"] > 0
+    # Per-frame curve consistency (round-3 fix: curves were averaged over
+    # batch AND re-divided by sample count — eval_batch× too small): the
+    # last per-frame entry IS the final-state MSE, for both rollouts.
+    import numpy as np
+
+    np.testing.assert_allclose(ev["per_frame_mse"][-1],
+                               ev["final_state_mse"], rtol=1e-5)
+    np.testing.assert_allclose(ev["per_frame_zero_force_mse"][-1],
+                               ev["zero_force_final_mse"], rtol=1e-5)
+    assert len(ev["per_frame_mse"]) == 4
     assert results["end_to_end"]["loss"] == results["end_to_end_n4"]["loss"]
     with open(os.path.join(workdir, "results.json")) as f:
         assert "eval" in json.load(f)
