@@ -93,11 +93,7 @@ class TrajectoryDataset:
         return self.obs.shape[0]
 
     def sample(self, rng: np.random.Generator, batch_size: int) -> dict:
-        idx = rng.integers(0, len(self), size=batch_size)
-        batch = {"obs": self.obs[idx]}
-        for k, v in self.extras.items():
-            batch[k] = v[idx]
-        return batch
+        return self.take(rng.integers(0, len(self), size=batch_size))
 
     def take(self, idx: np.ndarray) -> dict:
         """Deterministic batch at explicit indices (full-set evaluation)."""

@@ -35,8 +35,12 @@ SCHEMES = ("chain_final", "staggered", "refined")
 
 
 def _eval_batch(val_dataset):
-    rng = np.random.default_rng(1234)  # same draw as evaluate_control
-    return val_dataset.sample(rng, min(len(val_dataset), 32))
+    """Deterministic prefix of the val set (NO replacement) for the
+    adjoint/zero-force rows: the scheme rows evaluate the full val set in
+    order (evaluate_control), so with val sets ≤ 32 every row scores the
+    SAME trajectories. (Round-3 fix: this was a with-replacement random
+    draw — a different sample than the scheme rows.)"""
+    return val_dataset.take(np.arange(min(len(val_dataset), 32)))
 
 
 def run_comparison(
@@ -117,7 +121,8 @@ def run_comparison(
         "mean_force_cost": float(np.asarray(hist["force_cost"])[-1]),
         "iterations": adjoint_iterations,
     }
-    # zero-force context (identical batch → comparable across schemes)
+    # zero-force context on the same deterministic val prefix (the
+    # scheme rows also carry their own full-val-set zero_force_final_mse)
     app_any = ControlTraining(
         n, trainable_networks=("CFE",), sequence_class="chain_final",
         restore={"CFE": cfe_dir}, **common).prepare()

@@ -171,18 +171,28 @@ def zero_force_baseline(app: ControlTraining, batch,
 
     pde = app.pde
 
-    @jax.jit
-    def natural(batch):
-        state0 = pde.initial_state(batch)
+    # Cache the jitted rollout on the app: the chunked eval loop calls
+    # this per chunk, and a fresh closure per call would defeat jit's
+    # cache and re-trace the identical scan n_chunks times (round-3 fix).
+    cache = getattr(app, "_zero_force_jits", None)
+    if cache is None:
+        cache = app._zero_force_jits = {}
+    if all_frames not in cache:
 
-        def body(s, _):
-            s2 = pde.step(s, None)
-            return s2, pde.observe(s2) if all_frames else None
+        @jax.jit
+        def natural(batch, _all_frames=all_frames):
+            state0 = pde.initial_state(batch)
 
-        final, obs = lax.scan(body, state0, None, length=app.n)
-        return obs if all_frames else pde.observe(final)
+            def body(s, _):
+                s2 = pde.step(s, None)
+                return s2, pde.observe(s2) if _all_frames else None
 
-    return np.asarray(natural(batch))
+            final, obs = lax.scan(body, state0, None, length=app.n)
+            return obs if _all_frames else pde.observe(final)
+
+        cache[all_frames] = natural
+
+    return np.asarray(cache[all_frames](batch))
 
 
 def evaluate_control(app: ControlTraining, val_dataset, n: int,

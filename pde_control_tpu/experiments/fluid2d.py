@@ -34,6 +34,18 @@ from pde_control_tpu.grids import Domain2D
 from pde_control_tpu.physics.fluid import FluidConfig
 
 
+def _physics_key(cfg) -> dict:
+    """Physics fields baked into generated data, included in the disk-cache
+    key (round-3 fix: a dt/buoyancy/solver retune must invalidate cached
+    datasets, not silently reuse trajectories from the old physics).
+    Excludes 'fused' (a codegen routing knob, same math to tol)."""
+    import dataclasses
+
+    d = dataclasses.asdict(cfg)
+    d.pop("fused", None)
+    return d
+
+
 def _maybe_cached(datadir, split: str, params: dict, build):
     """Route dataset generation through the disk cache when --datadir is
     given (generate once to a scene tree, reload thereafter — the
@@ -71,7 +83,8 @@ def run_shape_transition(workdir: str, size: int = 64, n: int = 16,
     domain = Domain2D.create(size, size)
     cfg = FluidConfig(dt=1.0, buoyancy=0.0, pressure_tol=1e-4,
                       pressure_maxiter=200, warm_start_pressure=True)
-    base = dict(task="shape_transition", size=size, n=n, init="shapes")
+    base = dict(task="shape_transition", size=size, n=n, init="shapes",
+                physics=_physics_key(cfg))
     train = _maybe_cached(
         datadir, "train", dict(base, num=num_train, seed=0),
         lambda: generate_forced_smoke_dataset(domain, cfg, num_train, n,
@@ -112,7 +125,8 @@ def run_smoke_indirect(workdir: str, size: int = 64, n: int = 16,
     cfg = FluidConfig(dt=1.0, buoyancy=0.08, pressure_tol=1e-4,
                       pressure_maxiter=200, warm_start_pressure=True)
     base = dict(task="smoke_indirect", size=size, n=n,
-                control_amplitude=control_amplitude)
+                control_amplitude=control_amplitude,
+                physics=_physics_key(cfg))
     train = _maybe_cached(
         datadir, "train", dict(base, num=num_train, seed=0),
         lambda: generate_inflow_smoke_dataset(
@@ -151,6 +165,7 @@ def run_natural_flow_128(workdir: str, size: int = 64, n: int = 128,
     cfg = FluidConfig(dt=0.5, buoyancy=0.05, pressure_tol=1e-4,
                       pressure_maxiter=200, warm_start_pressure=True)
     base = dict(task="natural_flow", size=size, n=n, init="blobs",
+                physics=_physics_key(cfg),
                 force_amplitude=0.05, dt=0.5)
     train = _maybe_cached(
         datadir, "train", dict(base, num=num_train, seed=0),

@@ -106,6 +106,18 @@ def _fused_applicable(state: "FluidState", domain: Domain2D,
                 "supported by the fused kernel (needs 2D closed domain, "
                 "shift advection, viscosity=0, static buoyancy, grid "
                 "within the VMEM budget)")
+        if cfg.pressure_backend == "spectral" or (
+                cfg.pressure_backend == "auto"
+                and not domain.has_obstacles):
+            # The unfused path would use the EXACT spectral solve here;
+            # the fused kernel always runs tol-bounded PCG. Refuse rather
+            # than silently degrade pressure accuracy by up to tol.
+            raise ValueError(
+                "FluidConfig.fused='pallas' conflicts with the exact "
+                "spectral pressure solve this domain would use "
+                "(closed, no obstacles). Set pressure_backend='pcg' "
+                "explicitly to accept tol-bounded pressure, or "
+                "fused='off'/'auto'.")
         return True
     # 'auto': measured slower than the XLA composition on v5e (see
     # FluidConfig.fused docstring) — route to the unfused path.
@@ -163,6 +175,11 @@ def fluid_step(
     if _fused_applicable(state, domain, cfg, buoyancy_factor):
         from pde_control_tpu.ops.pallas_fluid import fused_fluid_step
 
+        if inflow is not None and inflow.ndim == 2:
+            # The kernel's BlockSpecs want a batched (B, H, W) operand;
+            # the XLA path broadcasts (H, W) implicitly.
+            inflow = jnp.broadcast_to(inflow[None],
+                                      state.density.shape)
         vy, vx, rho, p = fused_fluid_step(
             state.velocity.vy, state.velocity.vx, state.density,
             domain.acc_y, domain.acc_x, domain.fluid_mask,
