@@ -1,0 +1,46 @@
+"""experiments/run.py CLI contract: flag gating and entry-point wiring.
+
+The queue scripts drive multi-hour chip runs through this CLI; a silently
+ignored flag (or a typo'd entry) must fail at argparse time, not after
+hours of training (run.py `supports` table).
+"""
+
+import pytest
+
+from pde_control_tpu.experiments import run as run_cli
+
+
+def _main(argv, monkeypatch):
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["run.py"] + argv)
+    run_cli.main()
+
+
+@pytest.mark.parametrize("argv", [
+    ["burgers_chain", "--num-train", "8"],      # not in supports[num_train]
+    ["burgers_chain", "--datadir", "/tmp/x"],
+    ["compare_burgers", "--seed", "1"],
+    ["smoke3d", "--num-val", "4"],              # 3D has no num_val wiring
+    ["burgers_chain", "--e2e-iterations", "5"],
+])
+def test_unsupported_flags_error(argv, monkeypatch, capsys):
+    with pytest.raises(SystemExit) as e:
+        _main(argv, monkeypatch)
+    assert e.value.code == 2
+    assert "not supported" in capsys.readouterr().err
+
+
+def test_unknown_experiment_errors(monkeypatch, capsys):
+    with pytest.raises(SystemExit):
+        _main(["no_such_experiment"], monkeypatch)
+
+
+def test_burgers_adjoint_smoke(monkeypatch, tmp_path, capsys):
+    """One real CLI entry end-to-end at smoke size (the cheapest one)."""
+    import json
+
+    _main(["burgers_adjoint", "--smoke-test", "--iterations", "5",
+           "--workdir", str(tmp_path / "w")], monkeypatch)
+    out = json.loads(capsys.readouterr().out)
+    assert out["final_obs_mse"] < out["initial_obs_mse"]
