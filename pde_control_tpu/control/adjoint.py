@@ -34,6 +34,7 @@ def optimize_forces(
     force_reg: float = 1e-3,
     obs_loss: Callable | None = None,
     remat: bool = True,
+    grad_clip: float | None = 1.0,
 ):
     """Directly optimize a force sequence to reach `target_obs` at step n.
 
@@ -71,7 +72,14 @@ def optimize_forces(
         effort = jnp.mean(jnp.sum(costs, axis=0))
         return loss + force_reg * effort, (loss, effort)
 
-    optimizer = optax.adam(learning_rate)
+    # Solver-in-the-loop invariant (CLAUDE.md): unclipped optimization
+    # through unrolled rollouts eventually diverged in every long run;
+    # clip by default (grad_clip=None opts out).
+    if grad_clip is not None:
+        optimizer = optax.chain(optax.clip_by_global_norm(grad_clip),
+                                optax.adam(learning_rate))
+    else:
+        optimizer = optax.adam(learning_rate)
 
     def opt_step(carry, _):
         forces, opt_state = carry

@@ -74,8 +74,13 @@ class ControlTraining:
     ):
         if sequence_class not in SEQUENCE_CLASSES:
             raise ValueError(f"unknown sequence_class {sequence_class!r}")
-        if n >= 2 and n & (n - 1):
-            raise ValueError(f"n must be a power of two, got {n}")
+        if (n >= 2 and n & (n - 1)
+                and sequence_class in ("staggered", "refined",
+                                       "op_supervised")):
+            # Only binary time-axis subdivision needs 2^k; the greedy
+            # chains train on any horizon.
+            raise ValueError(
+                f"n must be a power of two for {sequence_class!r}, got {n}")
         if mesh is not None and batch_size % mesh.devices.size != 0:
             raise ValueError(
                 f"batch_size={batch_size} must be divisible by the mesh size "
@@ -88,6 +93,12 @@ class ControlTraining:
         self.sequence_class = sequence_class
         self.trainable_networks = tuple(trainable_networks)
         self.obs_loss_frames = tuple(obs_loss_frames) if obs_loss_frames else (n,)
+        bad = [f for f in self.obs_loss_frames if not 1 <= f <= n]
+        if bad:
+            # f=0 would silently read obs_traj[-1] (the FINAL frame)
+            # against gt frame 0 — a nonsensical loss term.
+            raise ValueError(
+                f"obs_loss_frames must be within 1..n={n}, got {bad}")
         self.force_reg = force_reg
         self.learning_rate = learning_rate
         self.restore = restore
@@ -195,6 +206,10 @@ class ControlTraining:
                                     donate_argnums=(0, 1))
         self._eval = jax.jit(self._loss_fn)
         self._np_rng = np.random.default_rng(self.seed + 1)
+        # Separate stream for validation draws: evaluate() must not
+        # consume training draws, or val_every changes the training batch
+        # sequence and breaks seed-reproducible A/Bs.
+        self._val_rng = np.random.default_rng(self.seed + 7919)
         self.step_count = 0
         self._prepared = True
         return self
@@ -291,6 +306,7 @@ class ControlTraining:
             lvl = lvl / max(count, 1)
             metrics[f"op{span}_mse"] = lvl
             loss = loss + lvl
+        metrics["loss"] = loss  # evaluate() contract: every stage has it
         return loss, metrics
 
     def _loss_fn(self, params, batch):
@@ -497,7 +513,7 @@ class ControlTraining:
 
     def evaluate(self, batch=None) -> dict:
         if batch is None:
-            batch = self.val_dataset.sample(self._np_rng, self.batch_size)
+            batch = self.val_dataset.sample(self._val_rng, self.batch_size)
         batch = self._device_batch(batch)
         _, metrics = self._eval(self.params, batch)
         return {k: float(v) for k, v in metrics.items()}

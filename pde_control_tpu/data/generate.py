@@ -78,6 +78,10 @@ def random_smoke_blobs(
 ) -> jnp.ndarray:
     """Random Gaussian density blobs (B, H, W), peak 1."""
     k_pos, k_sig = jax.random.split(key)
+    # Clamp like random_shape_densities: margin=8 on a 16-grid would pin
+    # every blob to the center (zero diversity), and h<16 would invert
+    # the uniform range silently.
+    margin = min(margin, h // 4, w // 4)
     pos = jax.random.uniform(
         k_pos, (batch, 2),
         minval=jnp.array([margin, margin], jnp.float32),

@@ -249,9 +249,16 @@ class SceneDataset:
 
     def write_trajectories(self, obs: np.ndarray, fmt: str = "npz") -> None:
         """obs: (num, T, *spatial, C) — write each trajectory as a scene."""
+        if len(obs) > len(self.sim_range):
+            # The old raw-index fallback collided with sim_range members
+            # (trajectory 10 of range(10, 20) overwrote sim_000010 — the
+            # directory trajectory 0 had just written) and silently lost
+            # scenes; refuse instead.
+            raise ValueError(
+                f"{len(obs)} trajectories exceed sim_range "
+                f"({len(self.sim_range)} scenes)")
         for i, traj in enumerate(obs):
-            scene = Scene.create(self.root, self.sim_range[i]
-                                 if i < len(self.sim_range) else i)
+            scene = Scene.create(self.root, self.sim_range[i])
             for f, frame in enumerate(traj):
                 scene.write_frame({self.field: frame}, f, fmt=fmt)
 
