@@ -100,10 +100,14 @@ class Conv(nn.Conv):
         )
 
     def _pallas_eligible(self, x) -> bool:
+        import jax.numpy as jnp
+
         from pde_control_tpu.ops.pallas_conv import conv3x3_fits
 
+        itemsize = jnp.dtype(self.dtype or x.dtype).itemsize
         return self._shape_eligible(x) and conv3x3_fits(
-            x.shape[1], x.shape[2], x.shape[3], self.features)
+            x.shape[1], x.shape[2], x.shape[3], self.features,
+            itemsize=itemsize)
 
     @nn.compact
     def __call__(self, x):

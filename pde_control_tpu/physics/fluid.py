@@ -106,9 +106,11 @@ def _fused_applicable(state: "FluidState", domain: Domain2D,
                 "supported by the fused kernel (needs 2D closed domain, "
                 "shift advection, viscosity=0, static buoyancy, grid "
                 "within the VMEM budget)")
-        if cfg.pressure_backend == "spectral" or (
-                cfg.pressure_backend == "auto"
-                and not domain.has_obstacles):
+        if not domain.has_obstacles and cfg.pressure_backend in (
+                "auto", "spectral"):
+            # (Obstacle domains never use the exact solve; an explicit
+            # 'spectral' there fails in _pick_backend with the right
+            # message — don't mask it with this one.)
             # The unfused path would use the EXACT spectral solve here;
             # the fused kernel always runs tol-bounded PCG. Refuse rather
             # than silently degrade pressure accuracy by up to tol.

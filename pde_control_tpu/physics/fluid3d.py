@@ -204,8 +204,15 @@ def fluid3d_step(
 
     buoy = cfg.buoyancy if buoyancy_factor is None else buoyancy_factor
     if buoyancy_factor is not None or cfg.buoyancy:
-        d_at_z = centered_to_z_faces(density)
-        v = Staggered3D(vz=v.vz + dt * buoy * d_at_z, vy=v.vy, vx=v.vx)
+        if getattr(buoy, "ndim", 0) >= 4 and buoy.shape[1] == density.shape[1]:
+            # Full (B, D, H, W) centered field: weight the density at
+            # centers, THEN resample to z-faces (a centered field cannot
+            # multiply the (B, D+1, H, W) face field directly).
+            d_at_z = centered_to_z_faces(buoy * density)
+            v = Staggered3D(vz=v.vz + dt * d_at_z, vy=v.vy, vx=v.vx)
+        else:
+            d_at_z = centered_to_z_faces(density)
+            v = Staggered3D(vz=v.vz + dt * buoy * d_at_z, vy=v.vy, vx=v.vx)
 
     v, p = divergence_free_3d(v, domain, cfg, x0=state.pressure)
     return FluidState3D(velocity=v, density=density, inflow=state.inflow,

@@ -194,3 +194,28 @@ def test_pcg_3d_with_obstacles():
     v2 = v - domain.pressure_gradient(p)
     res = np.asarray(v2.divergence(domain.dx)) * np.asarray(domain.fluid_mask)
     assert np.abs(res).max() < 1e-4
+
+
+def test_full_field_buoyancy_factor_3d():
+    """Full (B, D, H, W) buoyancy_factor — the indirect-control channel the
+    docstring promises — must apply (weight density at centers, then
+    resample to z-faces). Regression: this crashed with a broadcast error
+    against the (B, D+1, H, W) z-face field."""
+    from pde_control_tpu.grids3d import Domain3D
+
+    domain = Domain3D.create(D, H, W)
+    cfg = Fluid3DConfig(dt=0.5, buoyancy=0.0, pressure_tol=1e-5,
+                        pressure_maxiter=200)
+    rng = np.random.default_rng(0)
+    state = FluidState3D(
+        velocity=Staggered3D.zeros(2, D, H, W),
+        density=jnp.asarray(rng.random((2, D, H, W)), jnp.float32))
+    buoy = jnp.ones((2, D, H, W), jnp.float32) * 0.1
+    out_full = fluid3d_step(state, domain, cfg, buoyancy_factor=buoy)
+    # a constant full field must equal the scalar-factor path
+    out_scalar = fluid3d_step(state, domain, cfg,
+                              buoyancy_factor=jnp.full((2, 1, 1, 1), 0.1))
+    np.testing.assert_allclose(np.asarray(out_full.velocity.vz),
+                               np.asarray(out_scalar.velocity.vz),
+                               atol=1e-6)
+    assert np.isfinite(np.asarray(out_full.density)).all()

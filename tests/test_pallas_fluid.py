@@ -151,3 +151,26 @@ def test_fused_fits_gate():
     assert fused_step_fits(64, 64)
     assert fused_step_fits(128, 128)
     assert not fused_step_fits(1024, 1024)
+
+
+def test_advect_window_T_jnp_path_matches_autodiff(rng):
+    """The scratch-free (plain-jnp) branch of _advect_window_T — unused by
+    the kernels, which pass a VMEM scratch — pinned against jax.vjp of the
+    forward window so the advertised plain-jnp reuse path is verified."""
+    from pde_control_tpu.ops.pallas_fluid import (
+        _advect_window,
+        _advect_window_T,
+    )
+
+    k = 2
+    f = jnp.asarray(rng.random((H, H)).astype(np.float32))
+    dy = jnp.asarray((rng.random((H, H)) * 3 - 1.5).astype(np.float32))
+    dx_ = jnp.asarray((rng.random((H, H)) * 3 - 1.5).astype(np.float32))
+    g = jnp.asarray(rng.random((H, H)).astype(np.float32))
+
+    out, vjp = jax.vjp(lambda *a: _advect_window(*a, k), f, dy, dx_)
+    want = vjp(g)
+    got = _advect_window_T(g, f, dy, dx_, k)  # scratch=None -> jnp branch
+    for w, h_ in zip(want, got):
+        np.testing.assert_allclose(np.asarray(w), np.asarray(h_),
+                                   atol=2e-5, rtol=1e-5)
