@@ -55,7 +55,9 @@ def run_comparison(
     steps_per_call: int = 8,
     adjoint_iterations: int = 500,
     adjoint_lr: float = 0.05,
-    grad_clip: float | None = None,
+    grad_clip: float | None = 1.0,  # solver-in-the-loop invariant
+    # (CLAUDE.md): every unclipped e2e run eventually diverged; None
+    # opts out explicitly.
     seed: int = 0,
 ) -> dict:
     os.makedirs(workdir, exist_ok=True)

@@ -61,9 +61,11 @@ def _maybe_cached(datadir, split: str, params: dict, build):
 
 def default_obstacles(h: int, w: int) -> np.ndarray:
     """The smoke task's obstacle course: two staggered plates [R?],
-    built from geom boxes (2 cell-rows thick — the half-open [y0, y0+2)
-    box covers two integer cell centers — so the plume must route
-    around)."""
+    built from geom boxes ~2 cell-rows thick so the plume must route
+    around. Rasterization is boundary-inclusive (geom.rasterize): at the
+    production sizes the fractional bounds (0.45·h etc.) fall between
+    cell centers and cover exactly 2 rows; sizes where a bound lands on
+    an integer center gain one row."""
     from pde_control_tpu.geom import Box, rasterize, union
 
     course = union(
@@ -84,7 +86,10 @@ def run_shape_transition(workdir: str, size: int = 64, n: int = 16,
     cfg = FluidConfig(dt=1.0, buoyancy=0.0, pressure_tol=1e-4,
                       pressure_maxiter=200, warm_start_pressure=True)
     base = dict(task="shape_transition", size=size, n=n, init="shapes",
-                physics=_physics_key(cfg))
+                physics=_physics_key(cfg), force_amplitude=0.1)
+    # force_amplitude pins the generator default into the cache key — a
+    # retune must invalidate cached trajectories (same class of bug as
+    # the _physics_key omission).
     train = _maybe_cached(
         datadir, "train", dict(base, num=num_train, seed=0),
         lambda: generate_forced_smoke_dataset(domain, cfg, num_train, n,

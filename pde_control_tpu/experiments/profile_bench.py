@@ -30,16 +30,35 @@ import jax.numpy as jnp
 H, N, B = 64, 16, 8
 
 
+def _fetch(out):
+    """Pull ONE scalar from the output pytree — the trustworthy sync point
+    on the axon tunnel (CLAUDE.md: block_until_ready does not reliably
+    wait for repeated identical dispatches)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
 def _timed(fn, *args, trials: int = 5, inner: int = 4) -> float:
-    """Best-of-trials mean ms per call (device-synced)."""
+    """Best-of-trials mean ms per call.
+
+    Chained protocol: each inner call perturbs its first array argument
+    with the previous call's fetched scalar (state carried across calls —
+    the dispatches are NOT identical) and the trial ends with a value
+    fetch. Round-3 rework: the old repeated-identical-call +
+    block_until_ready pattern is exactly the microbenchmark shape the
+    tunnel mis-reports (66,000 TFLOP/s incident, CLAUDE.md)."""
     out = fn(*args)
-    jax.block_until_ready(out)  # compile
+    eps = _fetch(out) * 0.0  # compile + first sync
     best = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
         for _ in range(inner):
-            out = fn(*args)
-        jax.block_until_ready(out)
+            if args and hasattr(args[0], "dtype"):
+                first = args[0] + jnp.asarray(eps, args[0].dtype)
+                out = fn(first, *args[1:])
+            else:
+                out = fn(*args)
+            eps = _fetch(out) * 0.0
         best = min(best, (time.perf_counter() - t0) / inner)
     return best * 1e3
 

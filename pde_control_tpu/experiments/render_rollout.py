@@ -40,7 +40,7 @@ def _build(name: str, workdir: str):
         domain = Domain2D.create(size, size,
                                  obstacle_mask=jnp.asarray(obstacles))
         cfg = FluidConfig(dt=1.0, buoyancy=0.08, pressure_tol=1e-4,
-                          pressure_maxiter=200)
+                          pressure_maxiter=200, warm_start_pressure=True)
         # MUST mirror experiments/fluid2d.py::run_smoke_indirect exactly —
         # the checkpoint's CFE is the wide variant, and the eval data's
         # withheld-control amplitude defines the task.
@@ -53,7 +53,7 @@ def _build(name: str, workdir: str):
     elif name == "shape_transition":
         domain = Domain2D.create(size, size)
         cfg = FluidConfig(dt=1.0, buoyancy=0.0, pressure_tol=1e-4,
-                          pressure_maxiter=200)
+                          pressure_maxiter=200, warm_start_pressure=True)
         val = generate_forced_smoke_dataset(domain, cfg, 8, n, seed=999,
                                             init="shapes")
         pde = IncompressibleFluidPDE(domain, cfg, control="direct",
@@ -90,21 +90,10 @@ def render(name: str, workdir: str, sample: int = 0, outdir: str | None = None):
     controlled = np.asarray(obs_traj)[:, sample, :, :, 0]     # (n, H, W)
     gt = np.asarray(batch["obs"])[sample, 1:, :, :, 0]
 
-    # zero-force trajectory (frame by frame)
-    from jax import lax
-
-    @jax.jit
-    def natural_traj(batch):
-        s0 = app.pde.initial_state(batch)
-
-        def body(s, _):
-            s2 = app.pde.step(s, None)
-            return s2, s2.density
-
-        _, dens = lax.scan(body, s0, None, length=n)
-        return dens
-
-    natural = np.asarray(natural_traj(batch))[:, sample]
+    # zero-force trajectory — the same helper the eval metrics use, so
+    # renders cannot drift from evaluate_control's uncontrolled rollout
+    natural = zero_force_baseline(app, batch, all_frames=True)[
+        :, sample, :, :, 0]
 
     # force magnitude per step (centered magnitude of the staggered force)
     fy = np.asarray(forces.vy)[:, sample]

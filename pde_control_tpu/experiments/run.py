@@ -65,7 +65,7 @@ def main() -> None:
         "seed": {"smoke_indirect", "natural_flow_128", "shape_transition",
                  "smoke3d", "smoke3d_indirect", "smoke_128"},
         "num_val": {"smoke_indirect", "natural_flow_128", "shape_transition",
-                    "smoke_128"},
+                    "smoke_128", "smoke3d", "smoke3d_indirect"},
     }
     for flag, names in supports.items():
         if getattr(args, flag) is not None and args.name not in names:
@@ -169,7 +169,7 @@ def main() -> None:
             iterations=it or (5 if st else 300),
             e2e_iterations=args.e2e_iterations,
             num_train=args.num_train or (8 if st else 64),
-            num_val=4 if st else 16,
+            num_val=args.num_val or (4 if st else 16),
             batch_size=4 if st else 8, mesh=mesh, seed=args.seed or 0)
     elif args.name == "smoke3d_indirect":
         from pde_control_tpu.experiments.smoke3d import run_smoke3d_indirect
@@ -179,7 +179,7 @@ def main() -> None:
             iterations=it or (5 if st else 400),
             e2e_iterations=args.e2e_iterations,
             num_train=args.num_train or (8 if st else 128),
-            num_val=4 if st else 16,
+            num_val=args.num_val or (4 if st else 16),
             batch_size=4 if st else 8, mesh=mesh, seed=args.seed or 0)
     else:
         result = fluid2d.run_natural_flow_128(

@@ -84,6 +84,11 @@ def rasterize(shape, h: int, w: int, smooth: float = 0.0) -> jnp.ndarray:
     d = shape.sdf(y, x)
     if smooth > 0:
         return jnp.clip(0.5 - d / smooth, 0.0, 1.0)
+    # Boundary-INCLUSIVE (closed interval): a cell center lying exactly on
+    # the SDF zero level set rasterizes solid. Consequence: a Box spanning
+    # [y0, y1] covers (y1 - y0 + 1) rows when both bounds land on integer
+    # cell centers — size shapes so boundaries fall between centers when
+    # an exact cell count matters (e.g. 64²'s 0.45·h = 28.8 plate).
     return (d <= 0).astype(jnp.float32)
 
 

@@ -44,8 +44,9 @@ def save_networks(
 
 
 def load_network(path: str, target: Any) -> Any:
-    """Load one network's params. `path` is a .msgpack file or a checkpoint
-    directory (then the target network's name must be the file stem)."""
+    """Load one network's params from a `.msgpack` FILE. (Directory
+    handling — joining `<dir>/<name>.msgpack` — is the caller's job:
+    see ControlTraining's restore-dict branch and restore_networks.)"""
     with open(path, "rb") as f:
         return flax.serialization.from_bytes(target, f.read())
 

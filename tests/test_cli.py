@@ -21,7 +21,6 @@ def _main(argv, monkeypatch):
     ["burgers_chain", "--num-train", "8"],      # not in supports[num_train]
     ["burgers_chain", "--datadir", "/tmp/x"],
     ["compare_burgers", "--seed", "1"],
-    ["smoke3d", "--num-val", "4"],              # 3D has no num_val wiring
     ["burgers_chain", "--e2e-iterations", "5"],
 ])
 def test_unsupported_flags_error(argv, monkeypatch, capsys):
