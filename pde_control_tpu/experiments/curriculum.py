@@ -62,6 +62,12 @@ def op_spans(n: int) -> list[int]:
     return out
 
 
+def _ckpt_has(ckpt_dir: str, *names: str) -> bool:
+    """True when `ckpt_dir` holds a msgpack for every named network."""
+    return all(os.path.exists(os.path.join(ckpt_dir, f"{n}.msgpack"))
+               for n in names)
+
+
 def run_curriculum(
     pde: PDE,
     cfg: CurriculumConfig,
@@ -70,6 +76,7 @@ def run_curriculum(
     workdir: str,
     mesh=None,
     skip_cfe: bool = False,
+    resume: bool = False,
 ) -> dict:
     if cfg.e2e_stage_ns and cfg.e2e_stage_ns[-1] != cfg.n:
         raise ValueError(
@@ -86,8 +93,17 @@ def run_curriculum(
                   force_reg=cfg.force_reg, grad_clip=cfg.grad_clip,
                   seed=cfg.seed)
 
+    # With `resume`, stages whose checkpoint already exists in `workdir` are
+    # skipped (their results entry records {"resumed": True}) — restarting a
+    # killed multi-hour curriculum re-pays only the interrupted stage. This
+    # mirrors the reference workflow, where each stage is a separate script
+    # invocation composing through per-network checkpoints (SURVEY §3.4).
     # ---- stage 1: CFE supervised (chain, all-frames loss) -------------------
-    if not skip_cfe:
+    cfe_done = (resume and not skip_cfe
+                and _ckpt_has(stage_dir("ckpt_cfe"), "CFE"))
+    if cfe_done:
+        results["cfe_supervised"] = {"resumed": True}
+    if not skip_cfe and not cfe_done:
         app = ControlTraining(
             cfg.n, trainable_networks=("CFE",), sequence_class="chain",
             obs_loss_frames=tuple(range(1, cfg.n + 1)),
@@ -100,6 +116,9 @@ def run_curriculum(
 
     # ---- stage 2: per-level OP supervised -----------------------------------
     for span in sorted(op_spans(cfg.n)):
+        if resume and _ckpt_has(stage_dir("ckpt_ops"), f"OP{span}"):
+            results[f"op{span}_supervised"] = {"resumed": True}
+            continue
         app = ControlTraining(
             cfg.n, trainable_networks=(f"OP{span}",),
             sequence_class="op_supervised", learning_rate=cfg.op_lr,
@@ -115,6 +134,16 @@ def run_curriculum(
     stage_ns = tuple(cfg.e2e_stage_ns) if cfg.e2e_stage_ns else (cfg.n,)
     prev_ckpt = None
     for n_k in stage_ns:
+        ck = stage_dir(f"ckpt_e2e_n{n_k}")
+        stage_done = (resume and _ckpt_has(
+            ck, "CFE", *(f"OP{s}" for s in op_spans(n_k))))
+        if stage_done:
+            results[f"end_to_end_n{n_k}"] = {"resumed": True}
+            prev_ckpt = ck
+            if n_k != stage_ns[-1]:
+                continue
+            # Final stage already trained: still build the app (restored
+            # from its own checkpoint) — stage 4's eval needs it.
         # Each network restores from the newest checkpoint that has it:
         # the previous horizon's refined nets when available, else the
         # supervised stage-1/2 checkpoints (a larger n_k introduces a new
@@ -143,10 +172,11 @@ def run_curriculum(
             decay_steps=cfg.e2e_iterations if cfg.e2e_lr_schedule else None,
             logdir=stage_dir(f"logs_e2e_n{n_k}"), **common,
         ).prepare()
-        results[f"end_to_end_n{n_k}"] = app.train(
-            cfg.e2e_iterations, steps_per_call=cfg.steps_per_call)
-        prev_ckpt = stage_dir(f"ckpt_e2e_n{n_k}")
-        app.save(prev_ckpt)
+        if not stage_done:
+            results[f"end_to_end_n{n_k}"] = app.train(
+                cfg.e2e_iterations, steps_per_call=cfg.steps_per_call)
+            prev_ckpt = ck
+            app.save(prev_ckpt)
     results["end_to_end"] = results[f"end_to_end_n{stage_ns[-1]}"]
     app.save(stage_dir("ckpt_final"))
 

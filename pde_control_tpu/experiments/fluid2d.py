@@ -79,7 +79,7 @@ def run_shape_transition(workdir: str, size: int = 64, n: int = 16,
                          iterations: int = 500, num_train: int = 256,
                          num_val: int = 32, batch_size: int = 8,
                          mesh=None, datadir: str | None = None,
-                         seed: int = 0) -> dict:
+                         seed: int = 0, resume: bool = False) -> dict:
     """Config 3: 64² shape transition with direct forcing — geom shapes
     pushed by withheld random forces."""
     domain = Domain2D.create(size, size)
@@ -109,7 +109,8 @@ def run_shape_transition(workdir: str, size: int = 64, n: int = 16,
                             e2e_iterations=iterations,
                             grad_clip=1.0,
                             force_reg=1e-5, seed=seed)
-    return run_curriculum(pde, ccfg, train, val, workdir, mesh=mesh)
+    return run_curriculum(pde, ccfg, train, val, workdir, mesh=mesh,
+                          resume=resume)
 
 
 def run_smoke_indirect(workdir: str, size: int = 64, n: int = 16,
@@ -118,7 +119,7 @@ def run_smoke_indirect(workdir: str, size: int = 64, n: int = 16,
                        control_amplitude: float = 1.0,
                        e2e_iterations: int | None = None,
                        mesh=None, datadir: str | None = None,
-                       seed: int = 0) -> dict:
+                       seed: int = 0, resume: bool = False) -> dict:
     """Config 4: indirect smoke control — inflow-driven plume through an
     obstacle course, buoyancy-only forcing, targets from withheld control.
 
@@ -155,7 +156,8 @@ def run_smoke_indirect(workdir: str, size: int = 64, n: int = 16,
                             e2e_iterations=e2e_iterations or iterations,
                             e2e_lr=1e-4, grad_clip=1.0,
                             force_reg=3e-5, seed=seed)
-    return run_curriculum(pde, ccfg, train, val, workdir, mesh=mesh)
+    return run_curriculum(pde, ccfg, train, val, workdir, mesh=mesh,
+                          resume=resume)
 
 
 def run_natural_flow_128(workdir: str, size: int = 64, n: int = 128,
@@ -163,7 +165,7 @@ def run_natural_flow_128(workdir: str, size: int = 64, n: int = 128,
                          num_val: int = 16, batch_size: int = 8,
                          e2e_iterations: int | None = None,
                          mesh=None, datadir: str | None = None,
-                         seed: int = 0) -> dict:
+                         seed: int = 0, resume: bool = False) -> dict:
     """Config 5: batched 128-step forced-flow reconstruction, DP mesh —
     buoyant plumes under withheld random forcing (zero force can't match)."""
     domain = Domain2D.create(size, size)
@@ -197,4 +199,5 @@ def run_natural_flow_128(workdir: str, size: int = 64, n: int = 128,
                             e2e_obs_frames=tuple(
                                 f for f in (32, 64, 96) if f < n) + (n,),
                             force_reg=1e-5, grad_clip=1.0, seed=seed)
-    return run_curriculum(pde, ccfg, train, val, workdir, mesh=mesh)
+    return run_curriculum(pde, ccfg, train, val, workdir, mesh=mesh,
+                          resume=resume)

@@ -42,6 +42,11 @@ def main() -> None:
                         "thereafter — the reference's disk workflow")
     p.add_argument("--seed", type=int, default=None,
                    help="training seed (multi-seed spread studies)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip curriculum stages whose checkpoint already "
+                        "exists in --workdir (stage-granular restart of a "
+                        "killed run; the interrupted stage restarts from "
+                        "its beginning)")
     args = p.parse_args()
 
     workdir = args.workdir or f"runs/{args.name}"
@@ -66,9 +71,12 @@ def main() -> None:
                  "smoke3d", "smoke3d_indirect", "smoke_128"},
         "num_val": {"smoke_indirect", "natural_flow_128", "shape_transition",
                     "smoke_128", "smoke3d", "smoke3d_indirect"},
+        "resume": {"smoke_indirect", "natural_flow_128", "shape_transition",
+                   "smoke_128", "smoke3d", "smoke3d_indirect"},
     }
     for flag, names in supports.items():
-        if getattr(args, flag) is not None and args.name not in names:
+        if (getattr(args, flag) not in (None, False)
+                and args.name not in names):
             p.error(f"--{flag.replace('_', '-')} is not supported by "
                     f"{args.name!r} (supported: {sorted(names)})")
 
@@ -139,7 +147,7 @@ def main() -> None:
             num_train=args.num_train or (16 if st else 256),
             num_val=args.num_val or (8 if st else 32),
             batch_size=4 if st else 8, mesh=mesh,
-            datadir=args.datadir, seed=args.seed or 0)
+            datadir=args.datadir, seed=args.seed or 0, resume=args.resume)
     elif args.name == "smoke_128":
         # Stretch config (VERDICT r2 item 8): the indirect smoke task at
         # 128² — proves the stack (fused kernels included; the Pallas VMEM
@@ -151,7 +159,7 @@ def main() -> None:
             num_train=args.num_train or (16 if st else 256),
             num_val=args.num_val or (8 if st else 32),
             batch_size=4 if st else 8, mesh=mesh,
-            datadir=args.datadir, seed=args.seed or 0)
+            datadir=args.datadir, seed=args.seed or 0, resume=args.resume)
     elif args.name == "smoke_indirect":
         result = fluid2d.run_smoke_indirect(
             workdir, size=16 if st else 64, n=4 if st else 16,
@@ -160,7 +168,7 @@ def main() -> None:
             num_train=args.num_train or (16 if st else 256),
             num_val=args.num_val or (8 if st else 32),
             batch_size=4 if st else 8, mesh=mesh,
-            datadir=args.datadir, seed=args.seed or 0)
+            datadir=args.datadir, seed=args.seed or 0, resume=args.resume)
     elif args.name == "smoke3d":
         from pde_control_tpu.experiments.smoke3d import run_smoke3d
 
@@ -170,7 +178,8 @@ def main() -> None:
             e2e_iterations=args.e2e_iterations,
             num_train=args.num_train or (8 if st else 64),
             num_val=args.num_val or (4 if st else 16),
-            batch_size=4 if st else 8, mesh=mesh, seed=args.seed or 0)
+            batch_size=4 if st else 8, mesh=mesh, seed=args.seed or 0,
+            resume=args.resume)
     elif args.name == "smoke3d_indirect":
         from pde_control_tpu.experiments.smoke3d import run_smoke3d_indirect
 
@@ -180,7 +189,8 @@ def main() -> None:
             e2e_iterations=args.e2e_iterations,
             num_train=args.num_train or (8 if st else 128),
             num_val=args.num_val or (4 if st else 16),
-            batch_size=4 if st else 8, mesh=mesh, seed=args.seed or 0)
+            batch_size=4 if st else 8, mesh=mesh, seed=args.seed or 0,
+            resume=args.resume)
     else:
         result = fluid2d.run_natural_flow_128(
             workdir, size=16 if st else 64, n=8 if st else 128,
@@ -189,7 +199,7 @@ def main() -> None:
             num_train=args.num_train or (16 if st else 128),
             num_val=args.num_val or (8 if st else 16),
             batch_size=4 if st else 8, mesh=mesh,
-            datadir=args.datadir, seed=args.seed or 0)
+            datadir=args.datadir, seed=args.seed or 0, resume=args.resume)
 
     print(json.dumps(result, indent=2, default=float))
 

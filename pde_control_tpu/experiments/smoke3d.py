@@ -226,7 +226,7 @@ def run_smoke3d_indirect(workdir: str, size: int = 32, n: int = 16,
                          iterations: int = 400, num_train: int = 128,
                          num_val: int = 16, batch_size: int = 8,
                          e2e_iterations: int | None = None,
-                         mesh=None, seed: int = 0) -> dict:
+                         mesh=None, seed: int = 0, resume: bool = False) -> dict:
     """3D indirect smoke control (VERDICT r2 item 5): buoyancy-only CFE
     steering an inflow-driven plume through an obstacle plate at size³,
     n=16 — the full 2D flagship task lifted to volumes."""
@@ -250,14 +250,15 @@ def run_smoke3d_indirect(workdir: str, size: int = 32, n: int = 16,
                             e2e_iterations=e2e_iterations or iterations,
                             e2e_lr=1e-4, grad_clip=1.0,
                             force_reg=1e-5, seed=seed)
-    return run_curriculum(pde, ccfg, train, val, workdir, mesh=mesh)
+    return run_curriculum(pde, ccfg, train, val, workdir, mesh=mesh,
+                          resume=resume)
 
 
 def run_smoke3d(workdir: str, size: int = 24, n: int = 8,
                 iterations: int = 300, num_train: int = 64,
                 num_val: int = 16, batch_size: int = 4,
                 e2e_iterations: int | None = None,
-                mesh=None, seed: int = 0) -> dict:
+                mesh=None, seed: int = 0, resume: bool = False) -> dict:
     """3D smoke control: direct forcing on a size³ volume."""
     domain = Domain3D.create(size, size, size)
     cfg = Fluid3DConfig(dt=0.7, buoyancy=0.05, pressure_tol=1e-4,
@@ -281,4 +282,5 @@ def run_smoke3d(workdir: str, size: int = 24, n: int = 8,
                             e2e_iterations=e2e_iterations or iterations,
                             e2e_lr=1e-4, grad_clip=1.0,
                             force_reg=1e-5, seed=seed)
-    return run_curriculum(pde, ccfg, train, val, workdir, mesh=mesh)
+    return run_curriculum(pde, ccfg, train, val, workdir, mesh=mesh,
+                          resume=resume)

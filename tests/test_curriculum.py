@@ -67,3 +67,42 @@ def test_stage_ns_must_end_at_n(tmp_path):
 
     with pytest.raises(ValueError, match="e2e_stage_ns"):
         run_curriculum(pde, ccfg, train, train, str(tmp_path / "x"))
+
+
+def test_resume_skips_completed_stages_and_restarts_partial(tmp_path):
+    """Stage-granular restart of a killed curriculum (round 3): a full
+    rerun with resume=True retrains nothing; deleting the last e2e
+    checkpoint (simulating a kill mid-stage) retrains exactly that stage,
+    restoring the earlier stages' checkpoints."""
+    import shutil
+
+    train = generate_burgers_dataset(CFG, num=16, n_steps=4, seed=0)
+    val = generate_burgers_dataset(CFG, num=8, n_steps=4, seed=1)
+    pde = BurgersPDE(CFG)
+    ccfg = CurriculumConfig(
+        n=4, batch_size=4, cfe_iterations=3, op_iterations=3,
+        e2e_iterations=4, e2e_stage_ns=(2, 4), steps_per_call=2,
+    )
+    workdir = str(tmp_path / "curr")
+    first = run_curriculum(pde, ccfg, train, val, workdir)
+
+    # Everything checkpointed -> resume trains nothing, eval still runs.
+    res = run_curriculum(pde, ccfg, train, val, workdir, resume=True)
+    for key in ("cfe_supervised", "op2_supervised", "op4_supervised",
+                "end_to_end_n2", "end_to_end_n4"):
+        assert res[key] == {"resumed": True}, key
+    assert "final_state_mse" in res["eval"]
+    # The resumed eval restores the final stage's own checkpoint — same
+    # params, same deterministic val protocol, same number.
+    assert (res["eval"]["final_state_mse"]
+            == first["eval"]["final_state_mse"])
+
+    # Kill the final e2e stage: only it retrains (supervised stages and
+    # e2e_n2 stay resumed), composing from the surviving checkpoints.
+    shutil.rmtree(os.path.join(workdir, "ckpt_e2e_n4"))
+    res2 = run_curriculum(pde, ccfg, train, val, workdir, resume=True)
+    assert res2["end_to_end_n2"] == {"resumed": True}
+    assert "loss" in res2["end_to_end_n4"]
+    assert res2["cfe_supervised"] == {"resumed": True}
+    assert os.path.exists(
+        os.path.join(workdir, "ckpt_e2e_n4", "OP4.msgpack"))
