@@ -46,6 +46,11 @@ class CurriculumConfig:
     # LR schedule for the e2e stage ('cosine' decays over the stage's
     # iteration count); supervised stages keep a constant LR.
     e2e_lr_schedule: str | None = "cosine"
+    # Mid-stage crash recovery: every `autosave_every` optimizer steps the
+    # stage autosaves its full training state; run_curriculum(resume=True)
+    # restores it and finishes the interrupted stage (round 3 — a tunnel
+    # outage SIGTERM'd a 2-hour run mid-stage). 0 disables.
+    autosave_every: int = 500
     # Observation-loss frames for the e2e stage. None = final frame only
     # (the paper's loss). A tuple adds intermediate ground-truth frames as
     # auxiliary losses (the reference's obs_loss_frames supports this) —
@@ -93,6 +98,22 @@ def run_curriculum(
                   force_reg=cfg.force_reg, grad_clip=cfg.grad_clip,
                   seed=cfg.seed)
 
+    def autosave_kw(tag: str) -> dict:
+        # Mid-stage crash recovery for every train() call: autosave the
+        # full training state periodically; restore it when resuming. The
+        # autosave is removed once its stage checkpoints successfully.
+        if not cfg.autosave_every:
+            return {}
+        return dict(autosave_dir=stage_dir(f"autosave_{tag}"),
+                    autosave_every=cfg.autosave_every,
+                    autosave_restore=resume)
+
+    def clear_autosave(tag: str) -> None:
+        if cfg.autosave_every:
+            import shutil
+
+            shutil.rmtree(stage_dir(f"autosave_{tag}"), ignore_errors=True)
+
     # With `resume`, stages whose checkpoint already exists in `workdir` are
     # skipped (their results entry records {"resumed": True}) — restarting a
     # killed multi-hour curriculum re-pays only the interrupted stage. This
@@ -111,8 +132,10 @@ def run_curriculum(
             logdir=stage_dir("logs_cfe"), **common,
         ).prepare()
         results["cfe_supervised"] = app.train(
-            cfg.cfe_iterations, steps_per_call=cfg.steps_per_call)
+            cfg.cfe_iterations, steps_per_call=cfg.steps_per_call,
+            **autosave_kw("cfe"))
         app.save(stage_dir("ckpt_cfe"))
+        clear_autosave("cfe")
 
     # ---- stage 2: per-level OP supervised -----------------------------------
     for span in sorted(op_spans(cfg.n)):
@@ -127,8 +150,10 @@ def run_curriculum(
             logdir=stage_dir(f"logs_op{span}"), **common,
         ).prepare()
         results[f"op{span}_supervised"] = app.train(
-            cfg.op_iterations, steps_per_call=cfg.steps_per_call)
+            cfg.op_iterations, steps_per_call=cfg.steps_per_call,
+            **autosave_kw(f"op{span}"))
         app.save(stage_dir("ckpt_ops"))
+        clear_autosave(f"op{span}")
 
     # ---- stage 3: end-to-end (optionally staged horizon growth) -----------
     stage_ns = tuple(cfg.e2e_stage_ns) if cfg.e2e_stage_ns else (cfg.n,)
@@ -174,9 +199,11 @@ def run_curriculum(
         ).prepare()
         if not stage_done:
             results[f"end_to_end_n{n_k}"] = app.train(
-                cfg.e2e_iterations, steps_per_call=cfg.steps_per_call)
+                cfg.e2e_iterations, steps_per_call=cfg.steps_per_call,
+                **autosave_kw(f"e2e_n{n_k}"))
             prev_ckpt = ck
             app.save(prev_ckpt)
+            clear_autosave(f"e2e_n{n_k}")
     results["end_to_end"] = results[f"end_to_end_n{stage_ns[-1]}"]
     app.save(stage_dir("ckpt_final"))
 

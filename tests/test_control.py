@@ -321,3 +321,55 @@ def test_device_dataset_matches_host_sampling(burgers_data):
     assert isinstance(app.dataset, DeviceDataset)
     m = app.progress()
     assert np.isfinite(float(m["loss"]))
+
+
+def test_train_autosave_and_mid_stage_resume(burgers_data, tmp_path):
+    """Mid-stage crash recovery (round 3): train() periodically autosaves
+    the full training state; a fresh app with autosave_restore=True picks
+    up the saved step count and runs only the remaining iterations, with
+    identical params at the restore point."""
+    pde = BurgersPDE(CFG)
+
+    def make():
+        return ControlTraining(
+            2, pde, dataset=burgers_data, batch_size=4,
+            trainable_networks=("CFE",), sequence_class="chain",
+            obs_loss_frames=(1, 2), seed=7,
+        ).prepare()
+
+    d = str(tmp_path / "autosave")
+    app = make()
+    # 6 steps with autosave_every=2 (fused k=2): autosave left at step 6.
+    app.train(6, log_every=10, steps_per_call=2,
+              autosave_dir=d, autosave_every=2)
+    import os
+
+    assert os.path.exists(os.path.join(d, "state.json"))
+    saved_params = jax.device_get(app.params)
+
+    # "Crashed" run restarts: restores step 6, runs only 10-6=4 more.
+    app2 = make()
+    out = app2.train(10, log_every=10, steps_per_call=2,
+                     autosave_dir=d, autosave_every=100,
+                     autosave_restore=True)
+    assert out["resumed_mid_stage"] == 6
+    assert app2.step_count == 10
+    # The restore really loaded the autosaved params (not fresh-init ones):
+    app3 = make()
+    assert app3.try_restore_autosave(d) == 6
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        jax.device_get(app3.params), saved_params)
+
+    # Already-complete stage: nothing to run.
+    app4 = make()
+    out = app4.train(6, autosave_dir=d, autosave_restore=True)
+    assert out == {"resumed_mid_stage": 6, "iterations_run": 0}
+
+    # Unfused path autosaves too.
+    d2 = str(tmp_path / "autosave2")
+    app5 = make()
+    app5.train(3, log_every=10, autosave_dir=d2, autosave_every=2)
+    app6 = make()
+    assert app6.try_restore_autosave(d2) == 2
