@@ -59,37 +59,76 @@ def run_comparison(
     # (CLAUDE.md): every unclipped e2e run eventually diverged; None
     # opts out explicitly.
     seed: int = 0,
+    resume: bool = False,
 ) -> dict:
     os.makedirs(workdir, exist_ok=True)
     common = dict(pde=pde, dataset=dataset, val_dataset=val_dataset,
                   batch_size=batch_size, force_reg=force_reg,
                   grad_clip=grad_clip, seed=seed)
+
+    # Incremental results + stage-granular resume (round 3, same pattern
+    # as run_curriculum): comparison.json is rewritten after every
+    # completed row, so a killed multi-hour comparison rerun with
+    # resume=True skips finished supervised stages, scheme rows, and the
+    # adjoint/zero-force rows; train() autosaves cover mid-stage kills.
+    out_path = os.path.join(workdir, "comparison.json")
     results: dict = {}
+    if resume and os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)
+
+    def _flush():
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2, default=float)
+
+    def _saved(ckpt: str, *nets: str) -> bool:
+        return resume and all(
+            os.path.exists(os.path.join(ckpt, f"{net}.msgpack"))
+            for net in nets)
+
+    def _autosave_kw(tag: str) -> dict:
+        return dict(autosave_dir=os.path.join(workdir, f"autosave_{tag}"),
+                    autosave_every=500, autosave_restore=resume)
+
+    def _clear_autosave(tag: str) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(workdir, f"autosave_{tag}"),
+                      ignore_errors=True)
 
     # --- shared supervised stages -------------------------------------------
     cfe_dir = os.path.join(workdir, "ckpt_cfe")
-    app = ControlTraining(
-        n, trainable_networks=("CFE",), sequence_class="chain",
-        obs_loss_frames=tuple(range(1, n + 1)),
-        logdir=os.path.join(workdir, "logs_cfe"), **common,
-    ).prepare()
-    app.train(iterations, steps_per_call=steps_per_call)
-    app.save(cfe_dir)
+    if not _saved(cfe_dir, "CFE"):
+        app = ControlTraining(
+            n, trainable_networks=("CFE",), sequence_class="chain",
+            obs_loss_frames=tuple(range(1, n + 1)),
+            logdir=os.path.join(workdir, "logs_cfe"), **common,
+        ).prepare()
+        app.train(iterations, steps_per_call=steps_per_call,
+                  **_autosave_kw("cfe"))
+        app.save(cfe_dir)
+        _clear_autosave("cfe")
 
     ops_dir = os.path.join(workdir, "ckpt_ops")
     for span in sorted(op_spans(n)):
+        if _saved(ops_dir, f"OP{span}"):
+            continue
         app = ControlTraining(
             n, trainable_networks=(f"OP{span}",),
             sequence_class="op_supervised",
             restore=ops_dir if os.path.isdir(ops_dir) else None,
             logdir=os.path.join(workdir, f"logs_op{span}"), **common,
         ).prepare()
-        app.train(iterations, steps_per_call=steps_per_call)
+        app.train(iterations, steps_per_call=steps_per_call,
+                  **_autosave_kw(f"op{span}"))
         app.save(ops_dir)
+        _clear_autosave(f"op{span}")
 
     # --- per-scheme end-to-end ------------------------------------------------
     batch = _eval_batch(val_dataset)
     for scheme in SCHEMES:
+        if resume and scheme in results:
+            continue
         trainable = ("CFE",)
         restore = {"CFE": cfe_dir}
         if scheme != "chain_final":
@@ -100,48 +139,53 @@ def run_comparison(
             obs_loss_frames=(n,), restore=restore, learning_rate=3e-4,
             logdir=os.path.join(workdir, f"logs_e2e_{scheme}"), **common,
         ).prepare()
-        app.train(iterations, steps_per_call=steps_per_call)
+        app.train(iterations, steps_per_call=steps_per_call,
+                  **_autosave_kw(f"e2e_{scheme}"))
         app.save(os.path.join(workdir, f"ckpt_{scheme}"))
+        _clear_autosave(f"e2e_{scheme}")
         results[scheme] = evaluate_control(app, val_dataset, n)
+        _flush()
 
     # --- adjoint baseline (direct optimization, no networks) ------------------
     # Note: the adjoint optimizes the PDE's FULL force pytree — for the
     # indirect smoke task that is a direct staggered force, i.e. strictly
     # more authority than the buoyancy-only CFE. Report it as the
     # upper-bound comparator the paper uses, not an equal-footing method.
-    state0 = jax.jit(pde.initial_state)(batch)
-    import jax.numpy as jnp
+    if not (resume and "adjoint" in results):
+        state0 = jax.jit(pde.initial_state)(batch)
+        import jax.numpy as jnp
 
-    target = jnp.asarray(batch["obs"][:, n])
-    forces, hist = optimize_forces(
-        pde, state0, target, n=n, iterations=adjoint_iterations,
-        learning_rate=adjoint_lr, force_reg=force_reg)
-    abs_means = jax.vmap(pde.force_abs_mean)(forces)
-    results["adjoint"] = {
-        "final_state_mse": float(np.asarray(hist["obs_loss"])[-1]),
-        "mean_abs_force": float(np.mean(np.asarray(abs_means))),
-        "mean_force_cost": float(np.asarray(hist["force_cost"])[-1]),
-        "iterations": adjoint_iterations,
-    }
-    # zero-force context on the same deterministic val prefix (the
-    # scheme rows also carry their own full-val-set zero_force_final_mse)
-    app_any = ControlTraining(
-        n, trainable_networks=("CFE",), sequence_class="chain_final",
-        restore={"CFE": cfe_dir}, **common).prepare()
-    natural = zero_force_baseline(app_any, batch)
-    results["zero_force"] = {
-        "final_state_mse": float(np.mean(
-            (natural - np.asarray(batch["obs"][:, n])) ** 2)),
-    }
-
-    with open(os.path.join(workdir, "comparison.json"), "w") as f:
-        json.dump(results, f, indent=2, default=float)
+        target = jnp.asarray(batch["obs"][:, n])
+        forces, hist = optimize_forces(
+            pde, state0, target, n=n, iterations=adjoint_iterations,
+            learning_rate=adjoint_lr, force_reg=force_reg)
+        abs_means = jax.vmap(pde.force_abs_mean)(forces)
+        results["adjoint"] = {
+            "final_state_mse": float(np.asarray(hist["obs_loss"])[-1]),
+            "mean_abs_force": float(np.mean(np.asarray(abs_means))),
+            "mean_force_cost": float(np.asarray(hist["force_cost"])[-1]),
+            "iterations": adjoint_iterations,
+        }
+        _flush()
+    if not (resume and "zero_force" in results):
+        # zero-force context on the same deterministic val prefix (the
+        # scheme rows also carry their own full-val-set zero_force_final_mse)
+        app_any = ControlTraining(
+            n, trainable_networks=("CFE",), sequence_class="chain_final",
+            restore={"CFE": cfe_dir}, **common).prepare()
+        natural = zero_force_baseline(app_any, batch)
+        results["zero_force"] = {
+            "final_state_mse": float(np.mean(
+                (natural - np.asarray(batch["obs"][:, n])) ** 2)),
+        }
+    _flush()
     return results
 
 
 def compare_burgers(workdir: str, n: int = 32, iterations: int = 1000,
                     num_train: int = 1024, num_val: int = 128,
-                    batch_size: int = 32, smoke_test: bool = False) -> dict:
+                    batch_size: int = 32, smoke_test: bool = False,
+                    resume: bool = False) -> dict:
     from pde_control_tpu.control.pde_burgers import BurgersPDE
     from pde_control_tpu.data.generate import generate_burgers_dataset
     from pde_control_tpu.physics.burgers import BurgersConfig
@@ -157,7 +201,7 @@ def compare_burgers(workdir: str, n: int = 32, iterations: int = 1000,
                                    force_amplitude=0.5)
     return run_comparison(BurgersPDE(cfg), n, train, val, workdir,
                           batch_size=batch_size, iterations=iterations,
-                          force_reg=1e-4, adjoint_lr=0.1)
+                          force_reg=1e-4, adjoint_lr=0.1, resume=resume)
 
 
 def compare_smoke(workdir: str, size: int = 64, n: int = 16,
@@ -165,7 +209,8 @@ def compare_smoke(workdir: str, size: int = 64, n: int = 16,
                   num_val: int = 32, batch_size: int = 8,
                   smoke_test: bool = False,
                   control_amplitude: float = 0.6,
-                  grad_clip: float | None = None) -> dict:
+                  grad_clip: float | None = None,
+                  resume: bool = False) -> dict:
     import jax.numpy as jnp
 
     from pde_control_tpu.control.pde_fluid import IncompressibleFluidPDE
@@ -193,11 +238,13 @@ def compare_smoke(workdir: str, size: int = 64, n: int = 16,
     return run_comparison(pde, n, train, val, workdir,
                           batch_size=batch_size, iterations=iterations,
                           force_reg=3e-4, adjoint_lr=0.5,
-                          adjoint_iterations=300, grad_clip=grad_clip)
+                          adjoint_iterations=300, grad_clip=grad_clip,
+                          resume=resume)
 
 
 def compare_smoke_long(workdir: str, iterations: int = 1500,
-                       smoke_test: bool = False) -> dict:
+                       smoke_test: bool = False,
+                       resume: bool = False) -> dict:
     """The hierarchy demonstration at LONG horizon (VERDICT r2 item 3):
     smoke at n=32 — the paper's divide-and-conquer claim is about long
     horizons, where the greedy chain's per-step targets are wrong for most
@@ -210,11 +257,13 @@ def compare_smoke_long(workdir: str, iterations: int = 1500,
     if smoke_test:
         return compare_smoke(workdir, smoke_test=True)
     return compare_smoke(workdir, n=32, iterations=iterations,
-                         control_amplitude=0.3, grad_clip=1.0)
+                         control_amplitude=0.3, grad_clip=1.0,
+                         resume=resume)
 
 
 def compare_smoke_64(workdir: str, iterations: int = 1500,
-                     smoke_test: bool = False) -> dict:
+                     smoke_test: bool = False,
+                     resume: bool = False) -> dict:
     """The hierarchy demonstration at n=64 (2× compare_smoke_long's
     horizon; measured there: staggered 1.74× better than the greedy
     chain, 5.49e-4 vs 9.55e-4, vs 1.5% apart at n=16 — the gap grows
@@ -224,4 +273,5 @@ def compare_smoke_64(workdir: str, iterations: int = 1500,
     if smoke_test:
         return compare_smoke(workdir, smoke_test=True)
     return compare_smoke(workdir, n=64, iterations=iterations,
-                         control_amplitude=0.15, grad_clip=1.0)
+                         control_amplitude=0.15, grad_clip=1.0,
+                         resume=resume)

@@ -72,7 +72,9 @@ def main() -> None:
         "num_val": {"smoke_indirect", "natural_flow_128", "shape_transition",
                     "smoke_128", "smoke3d", "smoke3d_indirect"},
         "resume": {"smoke_indirect", "natural_flow_128", "shape_transition",
-                   "smoke_128", "smoke3d", "smoke3d_indirect"},
+                   "smoke_128", "smoke3d", "smoke3d_indirect",
+                   "compare_burgers", "compare_smoke", "compare_smoke_long",
+                   "compare_smoke_64"},
     }
     for flag, names in supports.items():
         if (getattr(args, flag) not in (None, False)
@@ -107,12 +109,12 @@ def main() -> None:
     elif args.name == "compare_burgers":
         from pde_control_tpu.experiments.compare_schemes import compare_burgers
 
-        result = compare_burgers(workdir, smoke_test=st,
+        result = compare_burgers(workdir, smoke_test=st, resume=args.resume,
                                  **({"iterations": it} if it else {}))
     elif args.name == "compare_smoke":
         from pde_control_tpu.experiments.compare_schemes import compare_smoke
 
-        result = compare_smoke(workdir, smoke_test=st,
+        result = compare_smoke(workdir, smoke_test=st, resume=args.resume,
                                **({"iterations": it} if it else {}))
     elif args.name == "compare_smoke_long":
         from pde_control_tpu.experiments.compare_schemes import (
@@ -120,6 +122,7 @@ def main() -> None:
         )
 
         result = compare_smoke_long(workdir, smoke_test=st,
+                                    resume=args.resume,
                                     **({"iterations": it} if it else {}))
     elif args.name == "compare_smoke_64":
         from pde_control_tpu.experiments.compare_schemes import (
@@ -127,6 +130,7 @@ def main() -> None:
         )
 
         result = compare_smoke_64(workdir, smoke_test=st,
+                                  resume=args.resume,
                                   **({"iterations": it} if it else {}))
     elif args.name == "burgers_chain":
         result = burgers.run_chain_supervised(

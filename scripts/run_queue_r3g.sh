@@ -27,13 +27,13 @@ run() {
   echo "=== $name rc=$? end $(date -u +%H:%M:%S) ===" >> runs/queue_logs/r3g_status.txt
 }
 run compare_smoke_64 python -m pde_control_tpu.experiments.run compare_smoke_64 \
-    --workdir runs/compare_smoke_64
+    --resume --workdir runs/compare_smoke_64
 run smoke3d_indirect2 python -m pde_control_tpu.experiments.run smoke3d_indirect \
-    --e2e-iterations 3000 --workdir runs/smoke3d_indirect2
+    --e2e-iterations 3000 --resume --workdir runs/smoke3d_indirect2
 run natural_flow_128_final python -m pde_control_tpu.experiments.run natural_flow_128 \
     --num-train 3584 --num-val 64 --e2e-iterations 4500 \
     --datadir data/natural_flow_128 --resume \
     --workdir runs/natural_flow_128_final
 run compare_burgers python -m pde_control_tpu.experiments.run compare_burgers \
-    --workdir runs/compare_burgers_r3
+    --resume --workdir runs/compare_burgers_r3
 echo ALL_DONE >> runs/queue_logs/r3g_status.txt

@@ -43,3 +43,17 @@ def test_burgers_adjoint_smoke(monkeypatch, tmp_path, capsys):
            "--workdir", str(tmp_path / "w")], monkeypatch)
     out = json.loads(capsys.readouterr().out)
     assert out["final_obs_mse"] < out["initial_obs_mse"]
+
+
+def test_comparison_resume(tmp_path):
+    """run_comparison with resume=True reuses completed rows from
+    comparison.json and retrains nothing (round-3 crash recovery)."""
+    from pde_control_tpu.experiments.compare_schemes import compare_burgers
+
+    wd = str(tmp_path / "cmp")
+    first = compare_burgers(wd, smoke_test=True)
+    second = compare_burgers(wd, smoke_test=True, resume=True)
+    assert set(second) == set(first)
+    for scheme in ("chain_final", "staggered", "refined", "adjoint"):
+        assert second[scheme]["final_state_mse"] == pytest.approx(
+            first[scheme]["final_state_mse"]), scheme
