@@ -409,27 +409,36 @@ class ControlTraining:
         return jax.device_put(batch)
 
     def autosave(self, directory: str) -> None:
-        """Crash-safe periodic save_state: writes to a sibling tmp dir and
-        swaps, so a kill mid-write can never leave a half-overwritten state
-        (state.json alone is not a sufficient commit marker once a PREVIOUS
-        autosave exists in place — per-network files would mix old/new)."""
+        """Crash-safe periodic save_state: write to a sibling tmp dir, move
+        the previous autosave ASIDE (not rmtree — deleting it first would
+        open a window with NO autosave at all), swap the tmp in, then drop
+        the old one. A kill at any point leaves either the old or the new
+        state restorable (state.json is written last, so a half-written tmp
+        never looks complete; try_restore_autosave falls back to the .old
+        dir if the swap itself was interrupted)."""
         import shutil
 
-        tmp = directory + ".tmp"
+        tmp, old = directory + ".tmp", directory + ".old"
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
         self.save_state(tmp)
-        shutil.rmtree(directory, ignore_errors=True)
+        if os.path.isdir(directory):
+            os.replace(directory, old)
         os.replace(tmp, directory)
+        shutil.rmtree(old, ignore_errors=True)
 
     def try_restore_autosave(self, directory: str) -> int:
-        """Restore a mid-stage autosave if one exists; returns the restored
-        optimizer-step count (0 = nothing restored). Dataset-sampling RNG
-        position is NOT part of the state: a resumed stage sees a different
-        batch order than the uninterrupted run would have."""
-        if not os.path.exists(os.path.join(directory, "state.json")):
-            return 0
-        self.restore_state(directory)
-        return self.step_count
+        """Restore a mid-stage autosave if one exists (falling back to the
+        rename-aside `.old` copy if a kill interrupted the swap); returns
+        the restored optimizer-step count (0 = nothing restored).
+        Dataset-sampling RNG position is NOT part of the state: a resumed
+        stage sees a different batch order than the uninterrupted run
+        would have."""
+        for src in (directory, directory + ".old"):
+            if os.path.exists(os.path.join(src, "state.json")):
+                self.restore_state(src)
+                return self.step_count
+        return 0
 
     def train(self, iterations: int, log_every: int = 50,
               val_every: int | None = None, render: bool = True,
@@ -459,7 +468,10 @@ class ControlTraining:
         if autosave_dir and autosave_restore:
             restored = self.try_restore_autosave(autosave_dir)
             if restored >= iterations:
-                return {"resumed_mid_stage": restored, "iterations_run": 0}
+                # iterations_run is the stage's TOTAL optimizer-step count
+                # (ADVICE r2 contract) — all of it ran in prior invocations.
+                return {"resumed_mid_stage": restored,
+                        "iterations_run": restored}
         if steps_per_call > 1:
             return self._train_fused(iterations - restored, log_every,
                                      val_every, render, steps_per_call,
@@ -488,6 +500,7 @@ class ControlTraining:
                 self.autosave(autosave_dir)
         if restored:
             last["resumed_mid_stage"] = restored
+            last["iterations_run"] = restored + iterations
         return last
 
     def _train_fused(self, iterations: int, log_every: int,
@@ -537,8 +550,9 @@ class ControlTraining:
                 self.autosave(autosave_dir)
         # Record the ACTUAL optimizer-step count (ADVICE r2): the round-up
         # above means train(10, k=8) runs 16 steps — iteration-matched
-        # comparisons must read this, not the requested value.
-        last["iterations_run"] = iterations
+        # comparisons must read this, not the requested value. After a
+        # mid-stage resume it is the stage TOTAL (restored + run here).
+        last["iterations_run"] = restored + iterations
         if restored:
             last["resumed_mid_stage"] = restored
         if iterations != requested:

@@ -26,6 +26,9 @@ import jax
 from pde_control_tpu.control.adjoint import optimize_forces
 from pde_control_tpu.control.training import ControlTraining
 from pde_control_tpu.experiments.curriculum import (
+    _ckpt_has,
+    autosave_kwargs,
+    clear_autosave,
     evaluate_control,
     op_spans,
     zero_force_baseline,
@@ -82,19 +85,13 @@ def run_comparison(
             json.dump(results, f, indent=2, default=float)
 
     def _saved(ckpt: str, *nets: str) -> bool:
-        return resume and all(
-            os.path.exists(os.path.join(ckpt, f"{net}.msgpack"))
-            for net in nets)
+        return resume and _ckpt_has(ckpt, *nets)
 
     def _autosave_kw(tag: str) -> dict:
-        return dict(autosave_dir=os.path.join(workdir, f"autosave_{tag}"),
-                    autosave_every=500, autosave_restore=resume)
+        return autosave_kwargs(workdir, tag, 500, resume)
 
     def _clear_autosave(tag: str) -> None:
-        import shutil
-
-        shutil.rmtree(os.path.join(workdir, f"autosave_{tag}"),
-                      ignore_errors=True)
+        clear_autosave(workdir, tag)
 
     # --- shared supervised stages -------------------------------------------
     cfe_dir = os.path.join(workdir, "ckpt_cfe")
@@ -128,20 +125,29 @@ def run_comparison(
     batch = _eval_batch(val_dataset)
     for scheme in SCHEMES:
         if resume and scheme in results:
+            _clear_autosave(f"e2e_{scheme}")
             continue
         trainable = ("CFE",)
         restore = {"CFE": cfe_dir}
         if scheme != "chain_final":
             trainable += tuple(f"OP{s}" for s in op_spans(n))
             restore.update({f"OP{s}": ops_dir for s in op_spans(n)})
+        scheme_ckpt = os.path.join(workdir, f"ckpt_{scheme}")
+        # Killed between the scheme checkpoint and its eval row reaching
+        # comparison.json: restore the trained nets and re-run only the
+        # (minutes-long) eval, not the hours-long e2e stage.
+        trained = _saved(scheme_ckpt, *trainable)
+        if trained:
+            restore = {net: scheme_ckpt for net in trainable}
         app = ControlTraining(
             n, trainable_networks=trainable, sequence_class=scheme,
             obs_loss_frames=(n,), restore=restore, learning_rate=3e-4,
             logdir=os.path.join(workdir, f"logs_e2e_{scheme}"), **common,
         ).prepare()
-        app.train(iterations, steps_per_call=steps_per_call,
-                  **_autosave_kw(f"e2e_{scheme}"))
-        app.save(os.path.join(workdir, f"ckpt_{scheme}"))
+        if not trained:
+            app.train(iterations, steps_per_call=steps_per_call,
+                      **_autosave_kw(f"e2e_{scheme}"))
+            app.save(scheme_ckpt)
         _clear_autosave(f"e2e_{scheme}")
         results[scheme] = evaluate_control(app, val_dataset, n)
         _flush()

@@ -73,6 +73,30 @@ def _ckpt_has(ckpt_dir: str, *names: str) -> bool:
                for n in names)
 
 
+def autosave_kwargs(workdir: str, tag: str, every: int,
+                    restore: bool) -> dict:
+    """train() kwargs for mid-stage crash recovery (shared by the
+    curriculum and the scheme comparisons): autosave the full training
+    state every `every` steps; restore an existing autosave when
+    resuming. 0 disables."""
+    if not every:
+        return {}
+    return dict(autosave_dir=os.path.join(workdir, f"autosave_{tag}"),
+                autosave_every=every, autosave_restore=restore)
+
+
+def clear_autosave(workdir: str, tag: str) -> None:
+    """Drop a stage's autosave (and any swap leftovers) once the stage
+    checkpoint is safely written — and also when a resumed run SKIPS the
+    stage: a stale autosave surviving a skip would be silently restored
+    if the user later deletes the stage checkpoint to force a retrain."""
+    import shutil
+
+    for suffix in ("", ".old", ".tmp"):
+        shutil.rmtree(os.path.join(workdir, f"autosave_{tag}{suffix}"),
+                      ignore_errors=True)
+
+
 def run_curriculum(
     pde: PDE,
     cfg: CurriculumConfig,
@@ -99,20 +123,10 @@ def run_curriculum(
                   seed=cfg.seed)
 
     def autosave_kw(tag: str) -> dict:
-        # Mid-stage crash recovery for every train() call: autosave the
-        # full training state periodically; restore it when resuming. The
-        # autosave is removed once its stage checkpoints successfully.
-        if not cfg.autosave_every:
-            return {}
-        return dict(autosave_dir=stage_dir(f"autosave_{tag}"),
-                    autosave_every=cfg.autosave_every,
-                    autosave_restore=resume)
+        return autosave_kwargs(workdir, tag, cfg.autosave_every, resume)
 
-    def clear_autosave(tag: str) -> None:
-        if cfg.autosave_every:
-            import shutil
-
-            shutil.rmtree(stage_dir(f"autosave_{tag}"), ignore_errors=True)
+    def drop_autosave(tag: str) -> None:
+        clear_autosave(workdir, tag)
 
     # With `resume`, stages whose checkpoint already exists in `workdir` are
     # skipped (their results entry records {"resumed": True}) — restarting a
@@ -124,6 +138,7 @@ def run_curriculum(
                 and _ckpt_has(stage_dir("ckpt_cfe"), "CFE"))
     if cfe_done:
         results["cfe_supervised"] = {"resumed": True}
+        drop_autosave("cfe")
     if not skip_cfe and not cfe_done:
         app = ControlTraining(
             cfg.n, trainable_networks=("CFE",), sequence_class="chain",
@@ -135,12 +150,13 @@ def run_curriculum(
             cfg.cfe_iterations, steps_per_call=cfg.steps_per_call,
             **autosave_kw("cfe"))
         app.save(stage_dir("ckpt_cfe"))
-        clear_autosave("cfe")
+        drop_autosave("cfe")
 
     # ---- stage 2: per-level OP supervised -----------------------------------
     for span in sorted(op_spans(cfg.n)):
         if resume and _ckpt_has(stage_dir("ckpt_ops"), f"OP{span}"):
             results[f"op{span}_supervised"] = {"resumed": True}
+            drop_autosave(f"op{span}")
             continue
         app = ControlTraining(
             cfg.n, trainable_networks=(f"OP{span}",),
@@ -153,7 +169,7 @@ def run_curriculum(
             cfg.op_iterations, steps_per_call=cfg.steps_per_call,
             **autosave_kw(f"op{span}"))
         app.save(stage_dir("ckpt_ops"))
-        clear_autosave(f"op{span}")
+        drop_autosave(f"op{span}")
 
     # ---- stage 3: end-to-end (optionally staged horizon growth) -----------
     stage_ns = tuple(cfg.e2e_stage_ns) if cfg.e2e_stage_ns else (cfg.n,)
@@ -164,6 +180,7 @@ def run_curriculum(
             ck, "CFE", *(f"OP{s}" for s in op_spans(n_k))))
         if stage_done:
             results[f"end_to_end_n{n_k}"] = {"resumed": True}
+            drop_autosave(f"e2e_n{n_k}")
             prev_ckpt = ck
             if n_k != stage_ns[-1]:
                 continue
@@ -203,7 +220,7 @@ def run_curriculum(
                 **autosave_kw(f"e2e_n{n_k}"))
             prev_ckpt = ck
             app.save(prev_ckpt)
-            clear_autosave(f"e2e_n{n_k}")
+            drop_autosave(f"e2e_n{n_k}")
     results["end_to_end"] = results[f"end_to_end_n{stage_ns[-1]}"]
     app.save(stage_dir("ckpt_final"))
 

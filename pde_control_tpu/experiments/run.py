@@ -77,8 +77,11 @@ def main() -> None:
                    "compare_smoke_64"},
     }
     for flag, names in supports.items():
-        if (getattr(args, flag) not in (None, False)
-                and args.name not in names):
+        # NB: `v is not False`, not `v not in (None, False)` — 0 == False
+        # in Python, and a 0-valued int flag (--seed 0) must still error
+        # on unsupported experiments.
+        v = getattr(args, flag)
+        if v is not None and v is not False and args.name not in names:
             p.error(f"--{flag.replace('_', '-')} is not supported by "
                     f"{args.name!r} (supported: {sorted(names)})")
 

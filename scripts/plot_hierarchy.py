@@ -32,6 +32,7 @@ LABELS = {"chain_final": "greedy chain", "staggered": "staggered hierarchy",
 def plot(run: str, out_dir: str = "docs/images") -> str | None:
     path = os.path.join("runs", run, "comparison.json")
     if not os.path.exists(path):
+        print(f"{run}: no comparison.json — skipped")
         return None
     with open(path) as f:
         d = json.load(f)
@@ -62,6 +63,12 @@ def plot(run: str, out_dir: str = "docs/images") -> str | None:
                     xytext=(4, 0), textcoords="offset points",
                     color="#6b7280", fontsize=8, va="center")
     for scheme in ("chain_final", "staggered", "refined"):
+        # comparison.json is written incrementally (crash recovery): a
+        # partially-flushed file may be missing later schemes — plot what
+        # exists.
+        if "per_frame_mse" not in d.get(scheme, {}):
+            print(f"{run}: {scheme} row missing/incomplete — omitted")
+            continue
         curve = fixed_curve(d[scheme], "per_frame_mse", "final_state_mse")
         ax.plot(frames, curve, color=COLORS[scheme], lw=2,
                 label=LABELS[scheme], zorder=2)
@@ -87,6 +94,7 @@ def plot(run: str, out_dir: str = "docs/images") -> str | None:
 
 
 if __name__ == "__main__":
-    runs = sys.argv[1:] or ["compare_smoke_32", "compare_smoke_64"]
+    runs = sys.argv[1:] or ["compare_smoke_32", "compare_smoke_long",
+                            "compare_smoke_64"]
     for r in runs:
         plot(r)

@@ -21,7 +21,12 @@ def _main(argv, monkeypatch):
     ["burgers_chain", "--num-train", "8"],      # not in supports[num_train]
     ["burgers_chain", "--datadir", "/tmp/x"],
     ["compare_burgers", "--seed", "1"],
+    # 0-valued flags must still error: 0 == False in Python, and a guard
+    # written as `not in (None, False)` silently passed them (review fix).
+    ["compare_burgers", "--seed", "0"],
+    ["burgers_chain", "--num-train", "0"],
     ["burgers_chain", "--e2e-iterations", "5"],
+    ["burgers_chain", "--resume"],
 ])
 def test_unsupported_flags_error(argv, monkeypatch, capsys):
     with pytest.raises(SystemExit) as e:

@@ -353,6 +353,7 @@ def test_train_autosave_and_mid_stage_resume(burgers_data, tmp_path):
                      autosave_dir=d, autosave_every=100,
                      autosave_restore=True)
     assert out["resumed_mid_stage"] == 6
+    assert out["iterations_run"] == 10  # stage total, not the remainder
     assert app2.step_count == 10
     # The restore really loaded the autosaved params (not fresh-init ones):
     app3 = make()
@@ -362,10 +363,12 @@ def test_train_autosave_and_mid_stage_resume(burgers_data, tmp_path):
                                                    np.asarray(b)),
         jax.device_get(app3.params), saved_params)
 
-    # Already-complete stage: nothing to run.
+    # Already-complete stage: nothing to run; iterations_run reports the
+    # stage TOTAL (the ADVICE-r2 contract: the actual optimizer-step
+    # count), all of which ran in prior invocations.
     app4 = make()
     out = app4.train(6, autosave_dir=d, autosave_restore=True)
-    assert out == {"resumed_mid_stage": 6, "iterations_run": 0}
+    assert out == {"resumed_mid_stage": 6, "iterations_run": 6}
 
     # Unfused path autosaves too.
     d2 = str(tmp_path / "autosave2")
