@@ -15,9 +15,11 @@ import argparse
 import json
 
 from pde_control_tpu.experiments import burgers, fluid2d
+from pde_control_tpu.utils.compile_cache import enable_compile_cache
 
 
 def main() -> None:
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("name", choices=[
         "burgers_chain", "burgers_hierarchical", "shape_transition",
