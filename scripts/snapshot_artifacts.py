@@ -1,0 +1,47 @@
+"""Mirror the small judged artifacts into the committed artifacts/ tree.
+
+runs/ and .bench_baseline.json are gitignored (checkpoints and datasets are
+large), which meant the round-3 VM reset wiped every measured result and
+they had to be re-earned on the chip. This script copies just the small,
+judge-relevant files — per-run results.json / comparison.json, the queue
+status log, and the frozen CPU-comparator cache — into artifacts/
+(committed), preserving relative paths, so a future machine reset keeps the
+measured numbers even while the heavyweight state regenerates.
+
+Usage: python scripts/snapshot_artifacts.py   (then git add artifacts/)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "artifacts")
+
+PATTERNS = (
+    "runs/*/results.json",
+    "runs/*/comparison.json",
+    "runs/*/stage_metrics.json",
+    "runs/queue_logs/*_status.txt",
+    ".bench_baseline.json",
+)
+
+
+def main() -> None:
+    copied = []
+    for pat in PATTERNS:
+        for src in sorted(glob.glob(os.path.join(REPO, pat))):
+            rel = os.path.relpath(src, REPO)
+            dst = os.path.join(OUT, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(src, dst)
+            copied.append(rel)
+    print(f"snapshotted {len(copied)} files into artifacts/:")
+    for rel in copied:
+        print(" ", rel)
+
+
+if __name__ == "__main__":
+    main()
