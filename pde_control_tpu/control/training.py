@@ -72,6 +72,16 @@ class ControlTraining:
         grad_clip: float | None = None,
         lr_schedule: str | None = None,  # None | 'cosine'
         decay_steps: int | None = None,  # cosine horizon = planned iterations
+        # Skip (don't apply) any update whose gradients contain NaN/Inf
+        # (optax.apply_if_finite) instead of poisoning the params — one bad
+        # batch or a transient solver blow-up then costs one step, not the
+        # whole run (round 3: a CFE stage hit a single non-finite step and
+        # every later stage trained on NaN params for hours). The train
+        # loop aborts the stage with RuntimeError once
+        # `divergence_abort` CONSECUTIVE steps were non-finite (persistent
+        # divergence — fail fast instead of stalling). None disables both.
+        skip_nonfinite: bool = True,
+        divergence_abort: int = 200,
     ):
         if sequence_class not in SEQUENCE_CLASSES:
             raise ValueError(f"unknown sequence_class {sequence_class!r}")
@@ -111,6 +121,8 @@ class ControlTraining:
                 "iteration count) — a fixed horizon silently disables decay "
                 "for typical 300-2000-iter stages")
         self.decay_steps = decay_steps
+        self.skip_nonfinite = skip_nonfinite
+        self.divergence_abort = divergence_abort
         self.seed = seed
         self.remat = remat
         self.scan_unroll = scan_unroll
@@ -195,6 +207,14 @@ class ControlTraining:
             {"train": train_tx, "freeze": optax.set_to_zero()},
             labels,
         )
+        if self.skip_nonfinite:
+            # Wrap OUTSIDE multi_transform so the finiteness check sees the
+            # raw gradient tree (inside, frozen leaves are MaskedNodes).
+            # max_consecutive_errors is effectively infinite: persistent
+            # divergence is handled host-side (divergence_abort raises) —
+            # letting optax "give up" would re-poison the params instead.
+            self.optimizer = optax.apply_if_finite(
+                self.optimizer, max_consecutive_errors=2**30)
         self.params = params
         self.opt_state = self.optimizer.init(params)
 
@@ -336,6 +356,12 @@ class ControlTraining:
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics["loss"] = loss
+        if self.skip_nonfinite:
+            # Observability for skipped (non-finite) updates: total count
+            # and the CURRENT consecutive streak (the host loop aborts the
+            # stage when the streak exceeds divergence_abort).
+            metrics["notfinite_total"] = opt_state.total_notfinite
+            metrics["notfinite_consec"] = opt_state.notfinite_count
         return params, opt_state, metrics
 
     def _train_multi_impl(self, params, opt_state, batches):
@@ -490,6 +516,7 @@ class ControlTraining:
                 last = {k: float(v) for k, v in metrics.items()}
                 last["steps_per_sec"] = (i + 1) / (time.time() - t0)
                 self.logger.log(self.step_count, last, prefix="train/")
+                self._check_divergence(last)
                 if render:
                     self._render_progress(cur)
             if val_every and (i + 1) % val_every == 0 and self.val_dataset:
@@ -536,6 +563,7 @@ class ControlTraining:
                 last = {key: float(v[-1]) for key, v in metrics.items()}
                 last["steps_per_sec"] = done / (time.time() - t0)
                 self.logger.log(self.step_count, last, prefix="train/")
+                self._check_divergence(last)
                 if render:
                     self._render_progress(jax.tree_util.tree_map(
                         lambda x: x[-1], cur))
@@ -560,6 +588,23 @@ class ControlTraining:
                             {"iterations_requested": requested,
                              "iterations_run": iterations}, prefix="train/")
         return last
+
+    def _check_divergence(self, last: dict) -> None:
+        """Abort the stage once every update in a long consecutive streak
+        was non-finite (and therefore skipped by apply_if_finite): the
+        params are stuck at their last finite value and the forward pass
+        NaNs deterministically from there — burning the remaining budget
+        cannot recover. Checked at log points, so detection granularity is
+        `log_every` (steps_per_call for fused loops)."""
+        if (self.divergence_abort
+                and last.get("notfinite_consec", 0) >= self.divergence_abort):
+            raise RuntimeError(
+                f"stage diverged: {int(last['notfinite_consec'])} consecutive "
+                f"non-finite-gradient steps (total skipped "
+                f"{int(last.get('notfinite_total', 0))}) at step "
+                f"{self.step_count}. Params remain at the last finite value. "
+                "Typical causes: force_reg too small (forces blow past the "
+                "CFL clip), lr too high, or non-finite training data.")
 
     def _render_progress(self, batch) -> None:
         """Render rollout-final vs target fields to the logdir (+TB)."""
@@ -632,8 +677,21 @@ class ControlTraining:
             self.params = replicate(self.params, self.mesh)
             self.opt_state = replicate(self.opt_state, self.mesh)
 
-    def save(self, directory: str) -> None:
-        save_networks(directory, jax.device_get(self.params), {
+    def save(self, directory: str, names: Sequence[str] | None = None) -> None:
+        """Write per-network msgpacks. `names` restricts WHICH networks are
+        written — supervised stages saving into a SHARED checkpoint dir must
+        pass their trained net only: save() writes every network the app
+        holds, so an OP2 stage would also write OP4..OPn at random init,
+        and a resumed run's `_ckpt_has` skip would then mistake those for
+        completed stages (round-3 bug: --resume-from-scratch runs silently
+        skipped all OP pretraining past OP2)."""
+        params = jax.device_get(self.params)
+        if names is not None:
+            missing = [n for n in names if n not in params]
+            if missing:
+                raise ValueError(f"save(names=...): unknown nets {missing}")
+            params = {k: v for k, v in params.items() if k in names}
+        save_networks(directory, params, {
             "n": self.n,
             "sequence_class": self.sequence_class,
             "trainable": list(self.trainable_networks),

@@ -118,7 +118,9 @@ def run_comparison(
         ).prepare()
         app.train(iterations, steps_per_call=steps_per_call,
                   **_autosave_kw(f"op{span}"))
-        app.save(ops_dir)
+        # names=: writing ALL nets would add later spans at random init and
+        # the resume skip above would treat them as trained (round-3 bug).
+        app.save(ops_dir, names=(f"OP{span}",))
         _clear_autosave(f"op{span}")
 
     # --- per-scheme end-to-end ------------------------------------------------
@@ -157,7 +159,15 @@ def run_comparison(
     # indirect smoke task that is a direct staggered force, i.e. strictly
     # more authority than the buoyancy-only CFE. Report it as the
     # upper-bound comparator the paper uses, not an equal-footing method.
-    if not (resume and "adjoint" in results):
+    if adjoint_iterations <= 0:
+        # Explicitly skippable: the per-trajectory adjoint baseline's
+        # backprop through the full horizon on the whole eval batch is the
+        # heaviest single program in the comparison (at n=64 it crashed the
+        # TPU worker), and its qualitative result — collapse at long
+        # horizon — is already established at n=32.
+        results.setdefault("adjoint", {"skipped": True,
+                                       "reason": "adjoint_iterations<=0"})
+    elif not (resume and "adjoint" in results):
         state0 = jax.jit(pde.initial_state)(batch)
         import jax.numpy as jnp
 
@@ -216,6 +226,7 @@ def compare_smoke(workdir: str, size: int = 64, n: int = 16,
                   smoke_test: bool = False,
                   control_amplitude: float = 0.6,
                   grad_clip: float | None = None,
+                  adjoint_iterations: int = 300,
                   resume: bool = False) -> dict:
     import jax.numpy as jnp
 
@@ -244,8 +255,8 @@ def compare_smoke(workdir: str, size: int = 64, n: int = 16,
     return run_comparison(pde, n, train, val, workdir,
                           batch_size=batch_size, iterations=iterations,
                           force_reg=3e-4, adjoint_lr=0.5,
-                          adjoint_iterations=300, grad_clip=grad_clip,
-                          resume=resume)
+                          adjoint_iterations=adjoint_iterations,
+                          grad_clip=grad_clip, resume=resume)
 
 
 def compare_smoke_long(workdir: str, iterations: int = 1500,
@@ -278,6 +289,9 @@ def compare_smoke_64(workdir: str, iterations: int = 1500,
     inside the max_shift CFL bound over the rollout)."""
     if smoke_test:
         return compare_smoke(workdir, smoke_test=True)
+    # adjoint_iterations=0: at n=64 the adjoint row's whole-batch
+    # full-horizon backprop crashed the TPU worker ("kernel fault", round
+    # 3); its collapse at long horizon is already measured at n=32.
     return compare_smoke(workdir, n=64, iterations=iterations,
                          control_amplitude=0.15, grad_clip=1.0,
-                         resume=resume)
+                         adjoint_iterations=0, resume=resume)

@@ -168,7 +168,13 @@ def run_curriculum(
         results[f"op{span}_supervised"] = app.train(
             cfg.op_iterations, steps_per_call=cfg.steps_per_call,
             **autosave_kw(f"op{span}"))
-        app.save(stage_dir("ckpt_ops"))
+        # Save ONLY this stage's trained net into the shared ckpt_ops dir:
+        # saving all nets would also write the LATER spans at random init,
+        # and the resume skip above (`_ckpt_has(ckpt_ops, f"OP{span}")`)
+        # would mistake them for completed stages (round-3 bug: every
+        # --resume-from-scratch run silently skipped OP pretraining past
+        # the first span).
+        app.save(stage_dir("ckpt_ops"), names=(f"OP{span}",))
         drop_autosave(f"op{span}")
 
     # ---- stage 3: end-to-end (optionally staged horizon growth) -----------

@@ -30,25 +30,53 @@ def _tree_hash(tree: Any) -> str:
 def save_networks(
     directory: str, params: dict[str, Any], metadata: dict | None = None
 ) -> None:
-    """Save each top-level network subtree ('CFE', 'OP2', …) to its own file."""
+    """Save each top-level network subtree ('CFE', 'OP2', …) to its own file.
+
+    Partial saves MERGE: per-stage curricula save each trained network into
+    a shared dir one stage at a time (save(names=...)), so an existing
+    manifest's entries for networks not being rewritten are kept."""
     os.makedirs(directory, exist_ok=True)
     manifest = {"networks": {}, "metadata": metadata or {}}
+    manifest_path = os.path.join(directory, "manifest.json")
+    if os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as f:
+                prev = json.load(f)
+            manifest["networks"] = {
+                k: v for k, v in prev.get("networks", {}).items()
+                if os.path.exists(os.path.join(directory, v.get("file", "")))}
+        except (json.JSONDecodeError, OSError):
+            pass
     for name, subtree in params.items():
         path = os.path.join(directory, f"{name}.msgpack")
         with open(path, "wb") as f:
             f.write(flax.serialization.to_bytes(subtree))
         manifest["networks"][name] = {"file": f"{name}.msgpack",
                                       "tree_hash": _tree_hash(subtree)}
-    with open(os.path.join(directory, "manifest.json"), "w") as f:
+    with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=2)
 
 
 def load_network(path: str, target: Any) -> Any:
     """Load one network's params from a `.msgpack` FILE. (Directory
     handling — joining `<dir>/<name>.msgpack` — is the caller's job:
-    see ControlTraining's restore-dict branch and restore_networks.)"""
+    see ControlTraining's restore-dict branch and restore_networks.)
+
+    Raises on non-finite parameters: a stage restoring a NaN-poisoned
+    checkpoint would train (and checkpoint) garbage for hours — fail at
+    load time instead (round 3: a diverged CFE stage poisoned every later
+    curriculum stage through exactly this path)."""
+    import numpy as np
+
     with open(path, "rb") as f:
-        return flax.serialization.from_bytes(target, f.read())
+        out = flax.serialization.from_bytes(target, f.read())
+    for p, leaf in jax.tree_util.tree_flatten_with_path(out)[0]:
+        if not np.all(np.isfinite(leaf)):
+            raise ValueError(
+                f"checkpoint {path} has non-finite values at "
+                f"{jax.tree_util.keystr(p)} — refusing to restore (the run "
+                "that wrote it diverged; delete its workdir and retrain)")
+    return out
 
 
 def restore_networks(

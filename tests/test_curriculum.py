@@ -106,3 +106,27 @@ def test_resume_skips_completed_stages_and_restarts_partial(tmp_path):
     assert res2["cfe_supervised"] == {"resumed": True}
     assert os.path.exists(
         os.path.join(workdir, "ckpt_e2e_n4", "OP4.msgpack"))
+
+
+def test_resume_from_scratch_trains_every_op_stage(tmp_path):
+    """Round-3 regression: with resume=True on a FRESH workdir (the normal
+    crash-safe invocation), the first OP stage's save used to write ALL
+    nets — including the later spans at random init — into the shared
+    ckpt_ops, and `_ckpt_has` then skipped the later OP supervised stages
+    as 'resumed'. Every OP stage must actually train."""
+    train = generate_burgers_dataset(CFG, num=16, n_steps=4, seed=0)
+    val = generate_burgers_dataset(CFG, num=8, n_steps=4, seed=1)
+    pde = BurgersPDE(CFG)
+    ccfg = CurriculumConfig(
+        n=4, batch_size=4, cfe_iterations=3, op_iterations=3,
+        e2e_iterations=4, steps_per_call=2,
+    )
+    workdir = str(tmp_path / "fresh_resume")
+    res = run_curriculum(pde, ccfg, train, val, workdir, resume=True)
+    for key in ("cfe_supervised", "op2_supervised", "op4_supervised"):
+        assert "loss" in res[key], f"{key} was skipped on a fresh run"
+    # ckpt_ops carries ONLY the supervised-trained OP nets (no stray CFE
+    # or untrained-span msgpacks that would confuse a later resume)
+    files = {f for f in os.listdir(os.path.join(workdir, "ckpt_ops"))
+             if f.endswith(".msgpack")}
+    assert files == {"OP2.msgpack", "OP4.msgpack"}
