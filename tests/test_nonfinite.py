@@ -71,6 +71,21 @@ def test_divergence_abort_raises():
     assert _finite(app.params)  # params never poisoned, only stuck
 
 
+def test_restore_refuses_poisoned_checkpoint(tmp_path, app):
+    """A checkpoint written by a diverged run must fail at LOAD time, not
+    silently seed hours of NaN training (the round-3 failure mode)."""
+    import os
+
+    from pde_control_tpu.utils.checkpoint import load_network, save_networks
+
+    poisoned = jax.tree_util.tree_map(
+        lambda x: jnp.full_like(x, jnp.nan), jax.device_get(app.params))
+    save_networks(str(tmp_path), poisoned)
+    with pytest.raises(ValueError, match="non-finite"):
+        load_network(os.path.join(str(tmp_path), "CFE.msgpack"),
+                     jax.device_get(app.params)["CFE"])
+
+
 def test_fused_loop_carries_nonfinite_metrics(app):
     m = app.train(4, steps_per_call=2, log_every=2, render=False)
     assert "notfinite_consec" in m and "notfinite_total" in m
