@@ -34,8 +34,12 @@ class Conv(nn.Conv):
 
     conv_impl: 'xla' = stock nn.Conv; 'pallas' = Pallas im2col kernel when
     eligible (interpret mode off-TPU); 'patches' = XLA patches+matmul
-    reformulation when eligible; 'auto' = best measured TPU path —
-    which IS 'xla' (see below).
+    reformulation when eligible; 'shifted' = 9 statically-shifted views ×
+    per-tap (Cin,Cout) dots, summed (no im2col materialization);
+    'im2col' = the 9 views concatenated + ONE (…,9·Cin)×(9·Cin,Cout)
+    matmul (patches semantics, but marshaled by plain slices/concat
+    instead of the pathologically-lowered patches op); 'auto' = best
+    measured TPU path — which IS 'xla' (see below).
 
     Round-3 conv campaign, all measured on v5e at the judged iteration
     (scripts/ab_conv.py, value-fetch-synced, interleaved arms; XLA arm
@@ -55,6 +59,57 @@ class Conv(nn.Conv):
     """
 
     conv_impl: str = "xla"
+
+    def _conv_params(self, x):
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (*self.kernel_size, x.shape[-1], self.features),
+            self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype)
+                if self.use_bias else None)
+        return kernel, bias
+
+    def _shifted_call(self, x, single_dot: bool):
+        """3×3 SAME stride-1 conv re-expressed WITHOUT the conv op:
+        zero-pad once, take the 9 statically-shifted views, and contract
+        against the per-tap (Cin, Cout) weights on the plain matmul path.
+
+        single_dot=False ('shifted'): 9 independent dot_generals summed —
+        no im2col materialization at all; XLA fuses each tap's slice into
+        its dot's operand load.
+        single_dot=True ('im2col'): concatenate the 9 views on the channel
+        axis and run ONE (B·H·W, 9·Cin) × (9·Cin, Cout) matmul — the
+        'patches' formulation but with the marshaling done by 9 static
+        slices + concat (plain copies) instead of
+        conv_general_dilated_patches, whose own lowering is the measured
+        17× pathology."""
+        kernel, bias = self._conv_params(x)
+        dtype = self.dtype or x.dtype
+        xc = x.astype(dtype)
+        kc = kernel.astype(dtype)
+        b, h, w, cin = x.shape
+        xp = jnp.pad(xc, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        taps = [xp[:, dy:dy + h, dx:dx + w, :]
+                for dy in range(3) for dx in range(3)]
+        if single_dot:
+            p = jnp.concatenate(taps, axis=-1)          # (B,H,W,9·Cin)
+            wflat = kc.reshape(9 * cin, self.features)   # tap-major rows
+            y = jax.lax.dot_general(
+                p, wflat, dimension_numbers=(((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            y = None
+            for tap, (dy, dx) in zip(taps, [(i, j) for i in range(3)
+                                            for j in range(3)]):
+                t = jax.lax.dot_general(
+                    tap, kc[dy, dx],
+                    dimension_numbers=(((3,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                y = t if y is None else y + t
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+        return y.astype(dtype)
 
     def _patches_call(self, x):
         """3×3 SAME stride-1 conv as patches + one dot_general."""
@@ -115,6 +170,8 @@ class Conv(nn.Conv):
         on_tpu = jax.default_backend() == "tpu"
         if impl == "patches" and self._shape_eligible(x):
             return self._patches_call(x)
+        if impl in ("shifted", "im2col") and self._shape_eligible(x):
+            return self._shifted_call(x, single_dot=impl == "im2col")
         # 'auto' routes to the stock lowering: both alternatives measured
         # slower on v5e (class docstring). Explicit 'pallas' still runs
         # (interpret mode off-TPU) so tests pin the kernel.

@@ -73,7 +73,7 @@ def test_conv3x3_bf16_close(rng):
                                atol=0.05, rtol=0.05)
 
 
-@pytest.mark.parametrize("impl", ["pallas", "patches"])
+@pytest.mark.parametrize("impl", ["pallas", "patches", "shifted", "im2col"])
 @pytest.mark.parametrize("net,cin", [
     (CFENet(out_channels=1, dim=2, dtype=jnp.float32), 5),
     (UNet(out_channels=1, levels=2, dim=2, dtype=jnp.float32), 2),
