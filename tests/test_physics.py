@@ -127,6 +127,34 @@ def test_pressure_solve_grad(rng):
         np.testing.assert_allclose(gdot, float(fd), rtol=1e-3, atol=1e-3)
 
 
+def test_pressure_solve_jvp_with_warm_start(rng):
+    # ADVICE r2: custom_linear_solve reuses the primal solve closure for
+    # tangent systems, so with x0 set the TANGENT solve is seeded by the
+    # primal warm start — a guess of unrelated scale. This pins the
+    # documented contract: at production tol/maxiter the safeguarded CG
+    # converges regardless of the seed, so forward mode stays correct
+    # even with warm start enabled (an x0 50x the solution scale).
+    domain = _rand_domain(rng, 8, 8, obstacle=True)
+    div0 = jnp.asarray(rng.normal(size=(1, 8, 8)), jnp.float32)
+    div0 = div0 - div0.mean()
+    x0 = jnp.asarray(50.0 * rng.normal(size=(1, 8, 8)), jnp.float32)
+    w = jnp.arange(64, dtype=jnp.float32).reshape(1, 8, 8)
+
+    def loss(div):
+        p = solve_pressure(div, domain, tol=1e-6, maxiter=400,
+                           backend="pcg", x0=x0)
+        return jnp.sum(p * w)
+
+    tan = jnp.asarray(rng.normal(size=(1, 8, 8)), jnp.float32)
+    tan = tan - tan.mean()  # stay in the compatible subspace
+    _, jvp = jax.jit(lambda d, t: jax.jvp(loss, (d,), (t,)))(div0, tan)
+    # Linear in div → a large FD step is exact, beating solver noise.
+    loss_j = jax.jit(loss)
+    eps = 0.5
+    fd = (loss_j(div0 + eps * tan) - loss_j(div0 - eps * tan)) / (2 * eps)
+    np.testing.assert_allclose(float(jvp), float(fd), rtol=1e-3, atol=1e-3)
+
+
 # ---------------------------------------------------------------- Fluid step
 
 def test_fluid_step_shapes_and_divfree(rng):
