@@ -238,6 +238,68 @@ def run_curriculum(
     return results
 
 
+def finetune_e2e(
+    pde: PDE,
+    cfg: CurriculumConfig,
+    dataset,
+    val_dataset,
+    workdir: str,
+    init_ckpt: str,
+    mesh=None,
+    resume: bool = False,
+) -> dict:
+    """One extra end-to-end stage on top of a FINISHED curriculum run.
+
+    Restores every network (CFE + all OP spans of cfg.n) from
+    `init_ckpt` — typically another run's `ckpt_final` — and trains them
+    jointly at THIS config's force_reg/lr. The use case is force-reg
+    annealing (reference §3.4 staged-training analog: stages compose
+    through checkpoints): the converged loss is typically ~half force-reg
+    term (round-2 invariant), so lowering the reg from an already-stable
+    controller buys observation accuracy without the from-scratch
+    divergence risk documented in experiments/smoke3d.py.
+
+    Same crash-recovery contract as run_curriculum: `resume` skips the
+    stage when `ckpt_final` already exists and restores mid-stage
+    autosaves otherwise. Writes results.json with the standard eval block.
+    """
+    needed = ("CFE",) + tuple(f"OP{s}" for s in op_spans(cfg.n))
+    if not _ckpt_has(init_ckpt, *needed):
+        raise FileNotFoundError(
+            f"init_ckpt {init_ckpt!r} is missing one of {needed} — "
+            "point --init-from at a finished run's ckpt_final")
+    os.makedirs(workdir, exist_ok=True)
+    results: dict = {"init_ckpt": init_ckpt, "force_reg": cfg.force_reg}
+    ck = os.path.join(workdir, "ckpt_final")
+    stage_done = resume and _ckpt_has(ck, *needed)
+    app = ControlTraining(
+        cfg.n, trainable_networks=needed,
+        sequence_class=cfg.e2e_sequence, obs_loss_frames=(cfg.n,),
+        learning_rate=cfg.e2e_lr,
+        restore={name: (ck if stage_done else init_ckpt) for name in needed},
+        lr_schedule=cfg.e2e_lr_schedule,
+        decay_steps=cfg.e2e_iterations if cfg.e2e_lr_schedule else None,
+        logdir=os.path.join(workdir, "logs_ft"),
+        pde=pde, dataset=dataset, val_dataset=val_dataset,
+        batch_size=cfg.batch_size, mesh=mesh, force_reg=cfg.force_reg,
+        grad_clip=cfg.grad_clip, seed=cfg.seed,
+    ).prepare()
+    if stage_done:
+        results["finetune"] = {"resumed": True}
+        clear_autosave(workdir, "ft")
+    else:
+        results["finetune"] = app.train(
+            cfg.e2e_iterations, steps_per_call=cfg.steps_per_call,
+            **autosave_kwargs(workdir, "ft", cfg.autosave_every, resume))
+        app.save(ck)
+        clear_autosave(workdir, "ft")
+    results["eval"] = evaluate_control(app, val_dataset, cfg.n,
+                                       render_dir=workdir)
+    with open(os.path.join(workdir, "results.json"), "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    return results
+
+
 def zero_force_baseline(app: ControlTraining, batch,
                         all_frames: bool = False) -> np.ndarray:
     """Observation(s) of the UNCONTROLLED rollout from the same initial

@@ -25,7 +25,8 @@ def main() -> None:
         "burgers_chain", "burgers_hierarchical", "shape_transition",
         "smoke_indirect", "natural_flow_128", "burgers_adjoint",
         "compare_burgers", "compare_smoke", "compare_smoke_long",
-        "compare_smoke_64", "smoke3d", "smoke3d_indirect", "smoke_128"])
+        "compare_smoke_64", "smoke3d", "smoke3d_indirect",
+        "smoke3d_indirect_ft", "smoke_128"])
     p.add_argument("--workdir", default=None)
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--smoke-test", action="store_true")
@@ -44,6 +45,12 @@ def main() -> None:
                         "thereafter — the reference's disk workflow")
     p.add_argument("--seed", type=int, default=None,
                    help="training seed (multi-seed spread studies)")
+    p.add_argument("--init-from", default=None,
+                   help="finished run's ckpt_final to restore ALL networks "
+                        "from (fine-tune entries)")
+    p.add_argument("--force-reg", type=float, default=None,
+                   help="force-regularizer override (fine-tune entries; "
+                        "annealing below the from-scratch-stable value)")
     p.add_argument("--resume", action="store_true",
                    help="skip curriculum stages whose checkpoint already "
                         "exists in --workdir (stage-granular restart of a "
@@ -64,19 +71,26 @@ def main() -> None:
     # a queued run would execute hours of chip time with defaults.
     supports = {
         "num_train": {"smoke_indirect", "smoke3d", "smoke3d_indirect",
-                      "natural_flow_128", "shape_transition", "smoke_128"},
+                      "smoke3d_indirect_ft", "natural_flow_128",
+                      "shape_transition", "smoke_128"},
         "e2e_iterations": {"smoke_indirect", "smoke3d", "smoke3d_indirect",
-                           "natural_flow_128", "smoke_128"},
+                           "smoke3d_indirect_ft", "natural_flow_128",
+                           "smoke_128"},
         "datadir": {"smoke_indirect", "natural_flow_128",
                     "shape_transition", "smoke_128"},
         "seed": {"smoke_indirect", "natural_flow_128", "shape_transition",
-                 "smoke3d", "smoke3d_indirect", "smoke_128"},
+                 "smoke3d", "smoke3d_indirect", "smoke3d_indirect_ft",
+                 "smoke_128"},
         "num_val": {"smoke_indirect", "natural_flow_128", "shape_transition",
-                    "smoke_128", "smoke3d", "smoke3d_indirect"},
+                    "smoke_128", "smoke3d", "smoke3d_indirect",
+                    "smoke3d_indirect_ft"},
         "resume": {"smoke_indirect", "natural_flow_128", "shape_transition",
                    "smoke_128", "smoke3d", "smoke3d_indirect",
+                   "smoke3d_indirect_ft",
                    "compare_burgers", "compare_smoke", "compare_smoke_long",
                    "compare_smoke_64"},
+        "init_from": {"smoke3d_indirect_ft"},
+        "force_reg": {"smoke3d_indirect_ft"},
     }
     for flag, names in supports.items():
         # NB: `v is not False`, not `v not in (None, False)` — 0 == False
@@ -186,6 +200,23 @@ def main() -> None:
             iterations=it or (5 if st else 300),
             e2e_iterations=args.e2e_iterations,
             num_train=args.num_train or (8 if st else 64),
+            num_val=args.num_val or (4 if st else 16),
+            batch_size=4 if st else 8, mesh=mesh, seed=args.seed or 0,
+            resume=args.resume)
+    elif args.name == "smoke3d_indirect_ft":
+        from pde_control_tpu.experiments.smoke3d import (
+            run_smoke3d_indirect_ft,
+        )
+
+        if not args.init_from:
+            p.error("smoke3d_indirect_ft requires --init-from "
+                    "(a finished smoke3d_indirect run's ckpt_final)")
+        result = run_smoke3d_indirect_ft(
+            workdir, init_from=args.init_from,
+            force_reg=args.force_reg or 1.5e-5,
+            size=8 if st else 32, n=2 if st else 16,
+            e2e_iterations=args.e2e_iterations or (5 if st else None),
+            num_train=args.num_train or (8 if st else 128),
             num_val=args.num_val or (4 if st else 16),
             batch_size=4 if st else 8, mesh=mesh, seed=args.seed or 0,
             resume=args.resume)
