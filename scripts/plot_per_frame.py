@@ -24,6 +24,8 @@ TITLES = {
                               "(64², n=128, 3584 traj)",
     "smoke3d_indirect": "3D smoke, indirect control (32³, n=16)",
     "smoke3d_indirect2": "3D smoke, indirect control (32³, n=16, retuned)",
+    "smoke3d_indirect_ft": "3D smoke, indirect (32³, n=16, reg-annealed)",
+    "smoke3d_indirect_ft2": "3D smoke, indirect (32³, n=16, anneal step 2)",
     "smoke_128": "2D smoke, indirect control (128², n=16)",
 }
 
