@@ -28,6 +28,7 @@ from pde_control_tpu.data.generate import (
 )
 from pde_control_tpu.experiments.curriculum import (
     CurriculumConfig,
+    finetune_e2e,
     run_curriculum,
 )
 from pde_control_tpu.grids import Domain2D
@@ -113,19 +114,13 @@ def run_shape_transition(workdir: str, size: int = 64, n: int = 16,
                           resume=resume)
 
 
-def run_smoke_indirect(workdir: str, size: int = 64, n: int = 16,
-                       iterations: int = 500, num_train: int = 256,
-                       num_val: int = 32, batch_size: int = 8,
-                       control_amplitude: float = 1.0,
-                       e2e_iterations: int | None = None,
-                       mesh=None, datadir: str | None = None,
-                       seed: int = 0, resume: bool = False) -> dict:
-    """Config 4: indirect smoke control — inflow-driven plume through an
-    obstacle course, buoyancy-only forcing, targets from withheld control.
-
-    `control_amplitude` scales the withheld buoyancy-modulation field: it
-    sets how far targets deviate from natural evolution (the zero-force
-    baseline MSE), i.e. how much signal the controller must supply."""
+def _smoke_indirect_setup(size: int, n: int, num_train: int, num_val: int,
+                          control_amplitude: float,
+                          datadir: str | None):
+    """The indirect-smoke task's (pde, train, val) — shared by the main
+    curriculum (config 4 at 64², the 128² stretch) and the fine-tune
+    entry so both train on the SAME task and datasets (same generation
+    seeds, same disk-cache keys)."""
     obstacles = default_obstacles(size, size)
     domain = Domain2D.create(size, size, obstacle_mask=jnp.asarray(obstacles))
     cfg = FluidConfig(dt=1.0, buoyancy=0.08, pressure_tol=1e-4,
@@ -147,6 +142,24 @@ def run_smoke_indirect(workdir: str, size: int = 64, n: int = 16,
                                  with_inflow=True,
                                  unet_levels=3 if size >= 32 else 2,
                                  cfe_features=(48, 96, 96, 48))
+    return pde, train, val
+
+
+def run_smoke_indirect(workdir: str, size: int = 64, n: int = 16,
+                       iterations: int = 500, num_train: int = 256,
+                       num_val: int = 32, batch_size: int = 8,
+                       control_amplitude: float = 1.0,
+                       e2e_iterations: int | None = None,
+                       mesh=None, datadir: str | None = None,
+                       seed: int = 0, resume: bool = False) -> dict:
+    """Config 4: indirect smoke control — inflow-driven plume through an
+    obstacle course, buoyancy-only forcing, targets from withheld control.
+
+    `control_amplitude` scales the withheld buoyancy-modulation field: it
+    sets how far targets deviate from natural evolution (the zero-force
+    baseline MSE), i.e. how much signal the controller must supply."""
+    pde, train, val = _smoke_indirect_setup(size, n, num_train, num_val,
+                                            control_amplitude, datadir)
     # grad_clip + e2e_lr 1e-4: the wider CFE diverged catastrophically in
     # e2e at lr 3e-4 unclipped (force cost blew up to 1e24 in the 4000-iter
     # r2 run) — long-horizon solver-in-the-loop gradients need the clip.
@@ -158,6 +171,32 @@ def run_smoke_indirect(workdir: str, size: int = 64, n: int = 16,
                             force_reg=3e-5, seed=seed)
     return run_curriculum(pde, ccfg, train, val, workdir, mesh=mesh,
                           resume=resume)
+
+
+def run_smoke_indirect_ft(workdir: str, init_from: str,
+                          force_reg: float = 1.5e-5,
+                          size: int = 64, n: int = 16,
+                          num_train: int = 256, num_val: int = 32,
+                          batch_size: int = 8,
+                          control_amplitude: float = 1.0,
+                          e2e_iterations: int | None = None,
+                          mesh=None, datadir: str | None = None,
+                          seed: int = 0, resume: bool = False) -> dict:
+    """Force-reg annealing fine-tune of a converged smoke-indirect run
+    (64² config 4 or the 128² stretch — `size` selects; the task setup is
+    shared with run_smoke_indirect so datasets are identical). See
+    experiments/smoke3d.py::run_smoke3d_indirect_ft for the rationale:
+    at the converged force_reg the reg term is ~half the loss and caps
+    observation quality; annealing from the converged checkpoint buys MSE
+    without the from-scratch low-reg divergence risk."""
+    pde, train, val = _smoke_indirect_setup(size, n, num_train, num_val,
+                                            control_amplitude, datadir)
+    ccfg = CurriculumConfig(n=n, batch_size=batch_size,
+                            e2e_iterations=e2e_iterations or 600,
+                            e2e_lr=5e-5, grad_clip=1.0,
+                            force_reg=force_reg, seed=seed)
+    return finetune_e2e(pde, ccfg, train, val, workdir, init_from,
+                        mesh=mesh, resume=resume)
 
 
 def run_natural_flow_128(workdir: str, size: int = 64, n: int = 128,
