@@ -272,9 +272,14 @@ def finetune_e2e(
     results: dict = {"init_ckpt": init_ckpt, "force_reg": cfg.force_reg}
     ck = os.path.join(workdir, "ckpt_final")
     stage_done = resume and _ckpt_has(ck, *needed)
+    if cfg.e2e_obs_frames:  # keep the base run's dense supervision
+        frames = tuple(sorted({f for f in cfg.e2e_obs_frames
+                               if f < cfg.n} | {cfg.n}))
+    else:
+        frames = (cfg.n,)
     app = ControlTraining(
         cfg.n, trainable_networks=needed,
-        sequence_class=cfg.e2e_sequence, obs_loss_frames=(cfg.n,),
+        sequence_class=cfg.e2e_sequence, obs_loss_frames=frames,
         learning_rate=cfg.e2e_lr,
         restore={name: (ck if stage_done else init_ckpt) for name in needed},
         lr_schedule=cfg.e2e_lr_schedule,

@@ -26,7 +26,8 @@ def main() -> None:
         "smoke_indirect", "natural_flow_128", "burgers_adjoint",
         "compare_burgers", "compare_smoke", "compare_smoke_long",
         "compare_smoke_64", "smoke3d", "smoke3d_indirect",
-        "smoke3d_indirect_ft", "smoke_128", "smoke_128_ft"])
+        "smoke3d_indirect_ft", "smoke_128", "smoke_128_ft",
+        "natural_flow_128_ft"])
     p.add_argument("--workdir", default=None)
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--smoke-test", action="store_true")
@@ -72,25 +73,32 @@ def main() -> None:
     supports = {
         "num_train": {"smoke_indirect", "smoke3d", "smoke3d_indirect",
                       "smoke3d_indirect_ft", "natural_flow_128",
-                      "shape_transition", "smoke_128", "smoke_128_ft"},
+                      "shape_transition", "smoke_128", "smoke_128_ft",
+                      "natural_flow_128_ft"},
         "e2e_iterations": {"smoke_indirect", "smoke3d", "smoke3d_indirect",
                            "smoke3d_indirect_ft", "natural_flow_128",
-                           "smoke_128", "smoke_128_ft"},
+                           "smoke_128", "smoke_128_ft",
+                           "natural_flow_128_ft"},
         "datadir": {"smoke_indirect", "natural_flow_128",
-                    "shape_transition", "smoke_128", "smoke_128_ft"},
+                    "shape_transition", "smoke_128", "smoke_128_ft",
+                    "natural_flow_128_ft"},
         "seed": {"smoke_indirect", "natural_flow_128", "shape_transition",
                  "smoke3d", "smoke3d_indirect", "smoke3d_indirect_ft",
-                 "smoke_128", "smoke_128_ft"},
+                 "smoke_128", "smoke_128_ft", "natural_flow_128_ft"},
         "num_val": {"smoke_indirect", "natural_flow_128", "shape_transition",
                     "smoke_128", "smoke_128_ft", "smoke3d",
-                    "smoke3d_indirect", "smoke3d_indirect_ft"},
+                    "smoke3d_indirect", "smoke3d_indirect_ft",
+                    "natural_flow_128_ft"},
         "resume": {"smoke_indirect", "natural_flow_128", "shape_transition",
-                   "smoke_128", "smoke_128_ft", "smoke3d", "smoke3d_indirect",
-                   "smoke3d_indirect_ft",
+                   "smoke_128", "smoke_128_ft", "smoke3d",
+                   "smoke3d_indirect",
+                   "smoke3d_indirect_ft", "natural_flow_128_ft",
                    "compare_burgers", "compare_smoke", "compare_smoke_long",
                    "compare_smoke_64"},
-        "init_from": {"smoke3d_indirect_ft", "smoke_128_ft"},
-        "force_reg": {"smoke3d_indirect_ft", "smoke_128_ft"},
+        "init_from": {"smoke3d_indirect_ft", "smoke_128_ft",
+                      "natural_flow_128_ft"},
+        "force_reg": {"smoke3d_indirect_ft", "smoke_128_ft",
+                      "natural_flow_128_ft"},
     }
     for flag, names in supports.items():
         # NB: `v is not False`, not `v not in (None, False)` — 0 == False
@@ -203,6 +211,19 @@ def main() -> None:
             num_val=args.num_val or (4 if st else 16),
             batch_size=4 if st else 8, mesh=mesh, seed=args.seed or 0,
             resume=args.resume)
+    elif args.name == "natural_flow_128_ft":
+        if not args.init_from:
+            p.error("natural_flow_128_ft requires --init-from "
+                    "(a finished natural_flow_128 run's ckpt_final)")
+        result = fluid2d.run_natural_flow_128_ft(
+            workdir, init_from=args.init_from,
+            force_reg=args.force_reg or 5e-6,
+            size=16 if st else 64, n=8 if st else 128,
+            e2e_iterations=args.e2e_iterations or (5 if st else None),
+            num_train=args.num_train or (16 if st else 128),
+            num_val=args.num_val or (8 if st else 16),
+            batch_size=4 if st else 8, mesh=mesh,
+            datadir=args.datadir, seed=args.seed or 0, resume=args.resume)
     elif args.name == "smoke_128_ft":
         if not args.init_from:
             p.error("smoke_128_ft requires --init-from "
