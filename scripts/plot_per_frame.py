@@ -27,6 +27,8 @@ TITLES = {
     "smoke3d_indirect_ft": "3D smoke, indirect (32³, n=16, reg-annealed)",
     "smoke3d_indirect_ft2": "3D smoke, indirect (32³, n=16, anneal step 2)",
     "smoke_128": "2D smoke, indirect control (128², n=16)",
+    "smoke_128_ft": "2D smoke, indirect (128², n=16, reg-annealed)",
+    "natural_flow_128_ft": "128-step reconstruction (reg-annealed)",
 }
 
 
