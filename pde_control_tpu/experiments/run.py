@@ -27,7 +27,7 @@ def main() -> None:
         "compare_burgers", "compare_smoke", "compare_smoke_long",
         "compare_smoke_64", "smoke3d", "smoke3d_indirect",
         "smoke3d_indirect_ft", "smoke_128", "smoke_128_ft",
-        "natural_flow_128_ft"])
+        "natural_flow_128_ft", "smoke_indirect_ft"])
     p.add_argument("--workdir", default=None)
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--smoke-test", action="store_true")
@@ -74,31 +74,33 @@ def main() -> None:
         "num_train": {"smoke_indirect", "smoke3d", "smoke3d_indirect",
                       "smoke3d_indirect_ft", "natural_flow_128",
                       "shape_transition", "smoke_128", "smoke_128_ft",
-                      "natural_flow_128_ft"},
+                      "natural_flow_128_ft", "smoke_indirect_ft"},
         "e2e_iterations": {"smoke_indirect", "smoke3d", "smoke3d_indirect",
                            "smoke3d_indirect_ft", "natural_flow_128",
                            "smoke_128", "smoke_128_ft",
-                           "natural_flow_128_ft"},
+                           "natural_flow_128_ft", "smoke_indirect_ft"},
         "datadir": {"smoke_indirect", "natural_flow_128",
                     "shape_transition", "smoke_128", "smoke_128_ft",
-                    "natural_flow_128_ft"},
+                    "natural_flow_128_ft", "smoke_indirect_ft"},
         "seed": {"smoke_indirect", "natural_flow_128", "shape_transition",
                  "smoke3d", "smoke3d_indirect", "smoke3d_indirect_ft",
-                 "smoke_128", "smoke_128_ft", "natural_flow_128_ft"},
+                 "smoke_128", "smoke_128_ft", "natural_flow_128_ft",
+                 "smoke_indirect_ft"},
         "num_val": {"smoke_indirect", "natural_flow_128", "shape_transition",
                     "smoke_128", "smoke_128_ft", "smoke3d",
                     "smoke3d_indirect", "smoke3d_indirect_ft",
-                    "natural_flow_128_ft"},
+                    "natural_flow_128_ft", "smoke_indirect_ft"},
         "resume": {"smoke_indirect", "natural_flow_128", "shape_transition",
                    "smoke_128", "smoke_128_ft", "smoke3d",
                    "smoke3d_indirect",
                    "smoke3d_indirect_ft", "natural_flow_128_ft",
-                   "compare_burgers", "compare_smoke", "compare_smoke_long",
+                   "smoke_indirect_ft", "compare_burgers", "compare_smoke",
+                   "compare_smoke_long",
                    "compare_smoke_64"},
         "init_from": {"smoke3d_indirect_ft", "smoke_128_ft",
-                      "natural_flow_128_ft"},
+                      "natural_flow_128_ft", "smoke_indirect_ft"},
         "force_reg": {"smoke3d_indirect_ft", "smoke_128_ft",
-                      "natural_flow_128_ft"},
+                      "natural_flow_128_ft", "smoke_indirect_ft"},
     }
     for flag, names in supports.items():
         # NB: `v is not False`, not `v not in (None, False)` — 0 == False
@@ -222,6 +224,19 @@ def main() -> None:
             e2e_iterations=args.e2e_iterations or (5 if st else None),
             num_train=args.num_train or (16 if st else 128),
             num_val=args.num_val or (8 if st else 16),
+            batch_size=4 if st else 8, mesh=mesh,
+            datadir=args.datadir, seed=args.seed or 0, resume=args.resume)
+    elif args.name == "smoke_indirect_ft":
+        if not args.init_from:
+            p.error("smoke_indirect_ft requires --init-from "
+                    "(a finished smoke_indirect run's ckpt_final)")
+        result = fluid2d.run_smoke_indirect_ft(
+            workdir, init_from=args.init_from,
+            force_reg=args.force_reg or 1.5e-5,
+            size=16 if st else 64, n=4 if st else 16,
+            e2e_iterations=args.e2e_iterations or (5 if st else None),
+            num_train=args.num_train or (16 if st else 256),
+            num_val=args.num_val or (8 if st else 32),
             batch_size=4 if st else 8, mesh=mesh,
             datadir=args.datadir, seed=args.seed or 0, resume=args.resume)
     elif args.name == "smoke_128_ft":
