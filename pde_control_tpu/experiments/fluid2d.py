@@ -76,13 +76,10 @@ def default_obstacles(h: int, w: int) -> np.ndarray:
     return np.asarray(rasterize(course, h, w))
 
 
-def run_shape_transition(workdir: str, size: int = 64, n: int = 16,
-                         iterations: int = 500, num_train: int = 256,
-                         num_val: int = 32, batch_size: int = 8,
-                         mesh=None, datadir: str | None = None,
-                         seed: int = 0, resume: bool = False) -> dict:
-    """Config 3: 64² shape transition with direct forcing — geom shapes
-    pushed by withheld random forces."""
+def _shape_transition_setup(size: int, n: int, num_train: int,
+                            num_val: int, datadir: str | None):
+    """Config 3's (pde, train, val) — shared by the main curriculum and
+    the fine-tune entry (same generation seeds, same disk-cache keys)."""
     domain = Domain2D.create(size, size)
     cfg = FluidConfig(dt=1.0, buoyancy=0.0, pressure_tol=1e-4,
                       pressure_maxiter=200, warm_start_pressure=True)
@@ -101,6 +98,18 @@ def run_shape_transition(workdir: str, size: int = 64, n: int = 16,
                                               seed=999, init="shapes"))
     pde = IncompressibleFluidPDE(domain, cfg, control="direct",
                                  unet_levels=3 if size >= 32 else 2)
+    return pde, train, val
+
+
+def run_shape_transition(workdir: str, size: int = 64, n: int = 16,
+                         iterations: int = 500, num_train: int = 256,
+                         num_val: int = 32, batch_size: int = 8,
+                         mesh=None, datadir: str | None = None,
+                         seed: int = 0, resume: bool = False) -> dict:
+    """Config 3: 64² shape transition with direct forcing — geom shapes
+    pushed by withheld random forces."""
+    pde, train, val = _shape_transition_setup(size, n, num_train, num_val,
+                                              datadir)
     # force_reg sized so the reg term stays well under the obs MSE at
     # convergence — re-measured each round: at 1e-4 the converged run's
     # reg term (force_cost ≈ 11) was still 5× the obs loss.
@@ -112,6 +121,26 @@ def run_shape_transition(workdir: str, size: int = 64, n: int = 16,
                             force_reg=1e-5, seed=seed)
     return run_curriculum(pde, ccfg, train, val, workdir, mesh=mesh,
                           resume=resume)
+
+
+def run_shape_transition_ft(workdir: str, init_from: str,
+                            force_reg: float = 5e-6,
+                            size: int = 64, n: int = 16,
+                            num_train: int = 256, num_val: int = 32,
+                            batch_size: int = 8,
+                            e2e_iterations: int | None = None,
+                            mesh=None, datadir: str | None = None,
+                            seed: int = 0, resume: bool = False) -> dict:
+    """Force-reg annealing fine-tune of a converged config-3 run (see
+    run_smoke_indirect_ft / experiments/smoke3d.py for the method)."""
+    pde, train, val = _shape_transition_setup(size, n, num_train, num_val,
+                                              datadir)
+    ccfg = CurriculumConfig(n=n, batch_size=batch_size,
+                            e2e_iterations=e2e_iterations or 600,
+                            e2e_lr=5e-5, grad_clip=1.0,
+                            force_reg=force_reg, seed=seed)
+    return finetune_e2e(pde, ccfg, train, val, workdir, init_from,
+                        mesh=mesh, resume=resume)
 
 
 def _smoke_indirect_setup(size: int, n: int, num_train: int, num_val: int,

@@ -27,7 +27,8 @@ def main() -> None:
         "compare_burgers", "compare_smoke", "compare_smoke_long",
         "compare_smoke_64", "smoke3d", "smoke3d_indirect",
         "smoke3d_indirect_ft", "smoke_128", "smoke_128_ft",
-        "natural_flow_128_ft", "smoke_indirect_ft"])
+        "natural_flow_128_ft", "smoke_indirect_ft",
+        "shape_transition_ft"])
     p.add_argument("--workdir", default=None)
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--smoke-test", action="store_true")
@@ -70,37 +71,27 @@ def main() -> None:
     it = args.iterations
     # Flags only some experiments consume must not be silently ignored —
     # a queued run would execute hours of chip time with defaults.
+    ft = {"smoke3d_indirect_ft", "smoke_128_ft", "natural_flow_128_ft",
+          "smoke_indirect_ft", "shape_transition_ft"}
     supports = {
         "num_train": {"smoke_indirect", "smoke3d", "smoke3d_indirect",
-                      "smoke3d_indirect_ft", "natural_flow_128",
-                      "shape_transition", "smoke_128", "smoke_128_ft",
-                      "natural_flow_128_ft", "smoke_indirect_ft"},
+                      "natural_flow_128", "shape_transition",
+                      "smoke_128"} | ft,
         "e2e_iterations": {"smoke_indirect", "smoke3d", "smoke3d_indirect",
-                           "smoke3d_indirect_ft", "natural_flow_128",
-                           "smoke_128", "smoke_128_ft",
-                           "natural_flow_128_ft", "smoke_indirect_ft"},
+                           "natural_flow_128", "smoke_128"} | ft,
         "datadir": {"smoke_indirect", "natural_flow_128",
-                    "shape_transition", "smoke_128", "smoke_128_ft",
-                    "natural_flow_128_ft", "smoke_indirect_ft"},
+                    "shape_transition", "smoke_128"} | ft - {
+                        "smoke3d_indirect_ft"},
         "seed": {"smoke_indirect", "natural_flow_128", "shape_transition",
-                 "smoke3d", "smoke3d_indirect", "smoke3d_indirect_ft",
-                 "smoke_128", "smoke_128_ft", "natural_flow_128_ft",
-                 "smoke_indirect_ft"},
+                 "smoke3d", "smoke3d_indirect", "smoke_128"} | ft,
         "num_val": {"smoke_indirect", "natural_flow_128", "shape_transition",
-                    "smoke_128", "smoke_128_ft", "smoke3d",
-                    "smoke3d_indirect", "smoke3d_indirect_ft",
-                    "natural_flow_128_ft", "smoke_indirect_ft"},
+                    "smoke_128", "smoke3d", "smoke3d_indirect"} | ft,
         "resume": {"smoke_indirect", "natural_flow_128", "shape_transition",
-                   "smoke_128", "smoke_128_ft", "smoke3d",
-                   "smoke3d_indirect",
-                   "smoke3d_indirect_ft", "natural_flow_128_ft",
-                   "smoke_indirect_ft", "compare_burgers", "compare_smoke",
-                   "compare_smoke_long",
-                   "compare_smoke_64"},
-        "init_from": {"smoke3d_indirect_ft", "smoke_128_ft",
-                      "natural_flow_128_ft", "smoke_indirect_ft"},
-        "force_reg": {"smoke3d_indirect_ft", "smoke_128_ft",
-                      "natural_flow_128_ft", "smoke_indirect_ft"},
+                   "smoke_128", "smoke3d", "smoke3d_indirect",
+                   "compare_burgers", "compare_smoke", "compare_smoke_long",
+                   "compare_smoke_64"} | ft,
+        "init_from": ft,
+        "force_reg": ft,
     }
     for flag, names in supports.items():
         # NB: `v is not False`, not `v not in (None, False)` — 0 == False
@@ -224,6 +215,19 @@ def main() -> None:
             e2e_iterations=args.e2e_iterations or (5 if st else None),
             num_train=args.num_train or (16 if st else 128),
             num_val=args.num_val or (8 if st else 16),
+            batch_size=4 if st else 8, mesh=mesh,
+            datadir=args.datadir, seed=args.seed or 0, resume=args.resume)
+    elif args.name == "shape_transition_ft":
+        if not args.init_from:
+            p.error("shape_transition_ft requires --init-from "
+                    "(a finished shape_transition run's ckpt_final)")
+        result = fluid2d.run_shape_transition_ft(
+            workdir, init_from=args.init_from,
+            force_reg=args.force_reg or 5e-6,
+            size=16 if st else 64, n=4 if st else 16,
+            e2e_iterations=args.e2e_iterations or (5 if st else None),
+            num_train=args.num_train or (16 if st else 256),
+            num_val=args.num_val or (8 if st else 32),
             batch_size=4 if st else 8, mesh=mesh,
             datadir=args.datadir, seed=args.seed or 0, resume=args.resume)
     elif args.name == "smoke_indirect_ft":
