@@ -26,7 +26,7 @@ def main() -> None:
         "smoke_indirect", "natural_flow_128", "burgers_adjoint",
         "compare_burgers", "compare_smoke", "compare_smoke_long",
         "compare_smoke_64", "smoke3d", "smoke3d_indirect",
-        "smoke3d_indirect_ft", "smoke_128", "smoke_128_ft",
+        "smoke3d_indirect_ft", "smoke3d_ft", "smoke_128", "smoke_128_ft",
         "natural_flow_128_ft", "smoke_indirect_ft",
         "shape_transition_ft"])
     p.add_argument("--workdir", default=None)
@@ -71,8 +71,8 @@ def main() -> None:
     it = args.iterations
     # Flags only some experiments consume must not be silently ignored —
     # a queued run would execute hours of chip time with defaults.
-    ft = {"smoke3d_indirect_ft", "smoke_128_ft", "natural_flow_128_ft",
-          "smoke_indirect_ft", "shape_transition_ft"}
+    ft = {"smoke3d_indirect_ft", "smoke3d_ft", "smoke_128_ft",
+          "natural_flow_128_ft", "smoke_indirect_ft", "shape_transition_ft"}
     supports = {
         "num_train": {"smoke_indirect", "smoke3d", "smoke3d_indirect",
                       "natural_flow_128", "shape_transition",
@@ -81,7 +81,7 @@ def main() -> None:
                            "natural_flow_128", "smoke_128"} | ft,
         "datadir": {"smoke_indirect", "natural_flow_128",
                     "shape_transition", "smoke_128"} | ft - {
-                        "smoke3d_indirect_ft"},
+                        "smoke3d_indirect_ft", "smoke3d_ft"},
         "seed": {"smoke_indirect", "natural_flow_128", "shape_transition",
                  "smoke3d", "smoke3d_indirect", "smoke_128"} | ft,
         "num_val": {"smoke_indirect", "natural_flow_128", "shape_transition",
@@ -270,6 +270,21 @@ def main() -> None:
             size=8 if st else 32, n=2 if st else 16,
             e2e_iterations=args.e2e_iterations or (5 if st else None),
             num_train=args.num_train or (8 if st else 128),
+            num_val=args.num_val or (4 if st else 16),
+            batch_size=4 if st else 8, mesh=mesh, seed=args.seed or 0,
+            resume=args.resume)
+    elif args.name == "smoke3d_ft":
+        from pde_control_tpu.experiments.smoke3d import run_smoke3d_ft
+
+        if not args.init_from:
+            p.error("smoke3d_ft requires --init-from "
+                    "(a finished smoke3d run's ckpt_final)")
+        result = run_smoke3d_ft(
+            workdir, init_from=args.init_from,
+            force_reg=args.force_reg or 5e-6,
+            size=8 if st else 24, n=2 if st else 8,
+            e2e_iterations=args.e2e_iterations or (5 if st else None),
+            num_train=args.num_train or (8 if st else 64),
             num_val=args.num_val or (4 if st else 16),
             batch_size=4 if st else 8, mesh=mesh, seed=args.seed or 0,
             resume=args.resume)

@@ -295,6 +295,39 @@ def run_smoke3d_indirect_ft(workdir: str, init_from: str,
                         mesh=mesh, resume=resume)
 
 
+def run_smoke3d_ft(workdir: str, init_from: str,
+                   force_reg: float = 5e-6,
+                   size: int = 24, n: int = 8,
+                   num_train: int = 64, num_val: int = 16,
+                   batch_size: int = 4,
+                   e2e_iterations: int | None = None,
+                   mesh=None, seed: int = 0,
+                   resume: bool = False) -> dict:
+    """Force-reg annealing fine-tune of a converged smoke3d (direct) run.
+
+    Same mechanism as run_smoke3d_indirect_ft: the converged e2e loss at
+    force_reg=1e-5 splits 60% obs / 40% reg (runs/smoke3d/results.json),
+    so the reg share caps the controlled MSE. Restore all nets from a
+    finished run's ckpt_final and run one more e2e stage at a lower reg —
+    annealing from the converged controller sidesteps the from-scratch
+    low-reg divergence. Datasets are regenerated with the same fixed
+    seeds (0 train / 999 val) and config as run_smoke3d."""
+    domain = Domain3D.create(size, size, size)
+    cfg = Fluid3DConfig(dt=0.7, buoyancy=0.05, pressure_tol=1e-4,
+                        pressure_maxiter=200, warm_start_pressure=True)
+    train = generate_forced_smoke3d_dataset(domain, cfg, num_train, n,
+                                            seed=0)
+    val = generate_forced_smoke3d_dataset(domain, cfg, num_val, n, seed=999)
+    pde = IncompressibleFluid3DPDE(domain, cfg, control="direct",
+                                   unet_levels=2)
+    ccfg = CurriculumConfig(n=n, batch_size=batch_size,
+                            e2e_iterations=e2e_iterations or 600,
+                            e2e_lr=5e-5, grad_clip=1.0,
+                            force_reg=force_reg, seed=seed)
+    return finetune_e2e(pde, ccfg, train, val, workdir, init_from,
+                        mesh=mesh, resume=resume)
+
+
 def run_smoke3d(workdir: str, size: int = 24, n: int = 8,
                 iterations: int = 300, num_train: int = 64,
                 num_val: int = 16, batch_size: int = 4,

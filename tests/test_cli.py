@@ -35,6 +35,17 @@ def test_unsupported_flags_error(argv, monkeypatch, capsys):
     assert "not supported" in capsys.readouterr().err
 
 
+@pytest.mark.parametrize("name", [
+    "smoke3d_ft", "smoke3d_indirect_ft", "natural_flow_128_ft",
+    "smoke_indirect_ft", "smoke_128_ft", "shape_transition_ft",
+])
+def test_finetune_entries_require_init_from(name, monkeypatch, capsys):
+    with pytest.raises(SystemExit) as e:
+        _main([name, "--smoke-test"], monkeypatch)
+    assert e.value.code == 2
+    assert "--init-from" in capsys.readouterr().err
+
+
 def test_unknown_experiment_errors(monkeypatch, capsys):
     with pytest.raises(SystemExit):
         _main(["no_such_experiment"], monkeypatch)
