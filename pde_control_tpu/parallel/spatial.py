@@ -1,0 +1,415 @@
+"""Spatial domain decomposition: one grid split across the device mesh.
+
+Beyond-reference scaling capability (SURVEY.md §2d: the reference is
+single-device; grids are bounded by one accelerator's memory). Here the
+2D fluid step runs with every field sharded along the H axis over a
+``('space',)`` mesh axis — composable with the batch ``('data',)`` axis
+as a 2D mesh — so grids too large for one chip's HBM run split across
+the slice, forward and backward (CG pressure projection, implicit-diff
+transpose solve, and shift-advection included).
+
+Why `shard_map` and not plain GSPMD annotation: the MAC layout's face
+arrays have H+1 rows — H and H+1 are coprime, so no mesh size divides
+both and `NamedSharding`/`in_shardings` cannot express the staggered
+layout (divisibility is enforced at the JAX boundary). The explicit
+decomposition sidesteps it with a *lower-face representation*: each rank
+owns the H/R cell rows of its slab plus each cell's lower y-face; the
+single global top face is carried replicated (and is identically zero
+after projection on the closed domains this path supports). Halos move
+by `lax.ppermute` over ICI — k+1 rows for the CFL-bounded shift
+advection window, 1 row for stencils — and the CG solver's inner
+products and nullspace projection become `psum` over the space axis.
+Everything else stays the same math as physics/fluid.py, so the sharded
+program is pinned to the dense one by tests/test_spatial.py (forward
+AND gradients, on an 8-device CPU mesh).
+
+Scope (validated, documented): closed domains (walls/obstacles — all
+benchmark fluid tasks), viscosity 0, shift advection, plain distributed
+CG for pressure (the spectral preconditioner is a global transform; a
+distributed preconditioner is future work). Generic GSPMD helpers
+(`spatial_spec`/`spatial_shard`) remain for divisible-axis pytrees
+(centered fields, batches, 3D volumes).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pde_control_tpu.grids import Domain2D, Staggered2D
+from pde_control_tpu.physics.fluid import FluidConfig, FluidState
+
+DATA_AXIS = "data"
+SPACE_AXIS = "space"
+
+
+def make_mesh2d(
+    n_data: int, n_space: int, platform: str | None = None,
+) -> Mesh:
+    """A (n_data, n_space) mesh with axes ('data', 'space').
+
+    Same CPU-fallback contract as parallel.mesh.make_mesh: if the default
+    platform has fewer than n_data*n_space devices (one real TPU chip but
+    a virtual CPU mesh was requested), fall back to jax.devices('cpu') —
+    which honors xla_force_host_platform_device_count — with a warning.
+    """
+    need = n_data * n_space
+    devices = jax.devices(platform) if platform else jax.devices()
+    if len(devices) < need and platform is None:
+        import warnings
+
+        devices = jax.devices("cpu")
+        warnings.warn(
+            f"make_mesh2d: default platform has {len(jax.devices())} "
+            f"device(s) < {need} requested — FALLING BACK TO CPU devices. "
+            "Results validate sharding logic, not TPU execution; pass "
+            "platform='cpu' to silence.", stacklevel=2)
+    if len(devices) < need:
+        raise ValueError(f"requested {need} devices, have {len(devices)}")
+    grid = np.array(devices[:need]).reshape(n_data, n_space)
+    return Mesh(grid, (DATA_AXIS, SPACE_AXIS))
+
+
+def spatial_spec(rank: int, ndim: int) -> P:
+    """PartitionSpec sharding the first spatial axis (divisible axes only).
+
+    ndim: spatial rank of the PROBLEM (2 for (B, H, W) fields, 3 for
+    (B, D, H, W) volumes) — needed because an unbatched 3D domain mask
+    (D, H, W) has the same array rank as a batched 2D field (B, H, W).
+    """
+    if ndim not in (2, 3):
+        raise ValueError(f"ndim must be 2 or 3, got {ndim}")
+    if rank == ndim + 1:          # batched field: (B, H, W) / (B, D, H, W)
+        return P(DATA_AXIS, SPACE_AXIS, *([None] * (rank - 2)))
+    if rank == ndim:              # unbatched domain mask: (H, W) / (D, H, W)
+        return P(SPACE_AXIS, *([None] * (rank - 1)))
+    return P()                    # scalars / per-batch (B,) etc.: replicated
+
+
+def spatial_shard(tree, mesh: Mesh, ndim: int = 2):
+    """device_put a pytree of DIVISIBLE-axis leaves (centered fields,
+    masks, batches) with every leaf sharded per spatial_spec. Staggered
+    MAC arrays (H+1 faces) can't be expressed this way — use
+    spatial_fluid_step, which splits them internally."""
+
+    def one(x):
+        rank = getattr(x, "ndim", 0)
+        return jax.device_put(
+            x, NamedSharding(mesh, spatial_spec(rank, ndim)))
+
+    return jax.tree_util.tree_map(one, tree)
+
+
+# ---------------------------------------------------------------------------
+# The shard_map'ed fluid step.
+# ---------------------------------------------------------------------------
+
+
+def _pperm_from_prev(x, rows: int, r: int):
+    """`rows` trailing rows of the previous rank's block (zeros at rank 0)."""
+    return lax.ppermute(x[:, -rows:, :], SPACE_AXIS,
+                        [(i, i + 1) for i in range(r - 1)])
+
+
+def _pperm_from_next(x, rows: int, r: int):
+    """`rows` leading rows of the next rank's block (zeros at top rank)."""
+    return lax.ppermute(x[:, :rows, :], SPACE_AXIS,
+                        [(i + 1, i) for i in range(r - 1)])
+
+
+def _edge(x, row: int, rows: int):
+    """Replicate one local row `rows` times (global clamp boundary)."""
+    return jnp.broadcast_to(
+        x[:, row:row + 1, :],
+        (x.shape[0], rows, x.shape[2]))
+
+
+def _sample_shift_local(field, disp_y, disp_x, k, below, above):
+    """shift_bilinear_sample_2d on a slab extended with halo rows.
+
+    field: (B, Hk, W) local rows; below: (B, k, W) rows under the slab;
+    above: (B, k+1, W) rows over it (the asymmetric window matches the
+    dense path's offsets −k..k+1). The W axis is unsharded → plain edge
+    pad, identical math to ops/interp.py::shift_bilinear_sample_2d.
+    """
+    hk, w = field.shape[1], field.shape[2]
+    disp_y = jnp.clip(disp_y, -k, k)
+    disp_x = jnp.clip(disp_x, -k, k)
+    ext = jnp.concatenate([below, field, above], axis=1)
+    ext = jnp.pad(ext, ((0, 0), (0, 0), (k, k + 1)), mode="edge")
+    out = jnp.zeros_like(field)
+    for oy in range(-k, k + 2):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(disp_y - oy))
+        row = lax.slice_in_dim(ext, k + oy, k + oy + hk, axis=1)
+        for ox in range(-k, k + 2):
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(disp_x - ox))
+            val = lax.slice_in_dim(row, k + ox, k + ox + w, axis=2)
+            out = out + val * (wy * wx)
+    return out
+
+
+def _halos_cell(x, k_lo, k_hi, r, idx):
+    """Halo rows for a CELL-indexed field with global clamp boundaries."""
+    below = _pperm_from_prev(x, k_lo, r)
+    below = jnp.where(idx == 0, _edge(x, 0, k_lo), below)
+    above = _pperm_from_next(x, k_hi, r)
+    above = jnp.where(idx == r - 1, _edge(x, x.shape[1] - 1, k_hi), above)
+    return below, above
+
+
+def spatial_fluid_step(
+    state: FluidState,
+    domain: Domain2D,
+    cfg: FluidConfig,
+    mesh: Mesh,
+    force: Staggered2D | None = None,
+    buoyancy_factor: jnp.ndarray | None = None,
+) -> FluidState:
+    """One fluid_step with every field sharded along H over mesh axis
+    'space' (and the batch over 'data'). Same semantics as
+    physics/fluid.py::fluid_step for the supported scope: closed domain,
+    viscosity 0, shift advection, iterative CG pressure solve.
+
+    Call under jit (cfg and mesh are static: hashable frozen dataclass /
+    Mesh). Inputs may live anywhere — jit reshards them to the
+    shard_map's specs; outputs come back sharded along 'space'.
+    """
+    if not domain.closed:
+        raise ValueError("spatial_fluid_step supports closed domains only "
+                         "(the dropped global top face is identically zero "
+                         "only under wall boundaries)")
+    if cfg.viscosity:
+        raise ValueError("spatial_fluid_step: viscosity not implemented")
+    if cfg.advection_mode != "shift":
+        raise ValueError("spatial_fluid_step requires shift advection")
+    if cfg.pressure_backend not in ("auto", "jax"):
+        raise ValueError(
+            "spatial_fluid_step solves pressure with plain distributed CG "
+            "('auto'/'jax'); the spectral/pallas paths are single-device "
+            f"(got {cfg.pressure_backend!r})")
+    r = mesh.shape[SPACE_AXIS]
+    h, w = domain.grid_shape
+    k = int(cfg.max_shift)
+    if h % r:
+        raise ValueError(f"H={h} not divisible by space axis size {r}")
+    if h // r < k + 2:
+        raise ValueError(f"slab of {h // r} rows < max_shift+2={k + 2}; "
+                         "use fewer space shards or a taller grid")
+    dt, dx = cfg.dt, domain.dx
+    tol, maxiter = cfg.pressure_tol, cfg.pressure_maxiter
+
+    def local_step(vy_lo, vy_top, vx, density, inflow, x0,
+                   fy_lo, fy_top, fx, buoy, fluid, acc_y_lo, acc_y_top,
+                   acc_x):
+        idx = lax.axis_index(SPACE_AXIS)
+        top = idx == r - 1
+
+        def from_next_face(x_lo, x_top, rows):
+            """Rows above a lower-face slab: the next rank's leading lo
+            rows; at the top rank, the real global top face then clamp."""
+            nxt = _pperm_from_next(x_lo, rows, r)
+            fill = jnp.broadcast_to(x_top,
+                                    (x_lo.shape[0], rows, x_lo.shape[2]))
+            return jnp.where(top, fill, nxt)
+
+        # --- advection (matches advect.py order: density first, then v) --
+        vy_above1 = from_next_face(vy_lo, vy_top, 1)
+        vy_c = 0.5 * (vy_lo + jnp.concatenate(
+            [vy_lo[:, 1:, :], vy_above1], axis=1))
+        vx_c = 0.5 * (vx[:, :, :-1] + vx[:, :, 1:])
+
+        d_below, d_above = _halos_cell(density, k, k + 1, r, idx)
+        density_new = _sample_shift_local(
+            density, -dt * vy_c / dx, -dt * vx_c / dx, k, d_below, d_above)
+        if inflow is not None:
+            density_new = density_new + dt * inflow
+
+        # vy at y-faces: native vy; vx resampled to faces (prev cell row).
+        vxc_prev = _pperm_from_prev(vx_c, 1, r)
+        vxc_prev = jnp.where(idx == 0, vx_c[:, :1, :], vxc_prev)
+        vx_at_y = 0.5 * (jnp.concatenate([vxc_prev, vx_c[:, :-1, :]], axis=1)
+                         + vx_c)
+        vy_below = _pperm_from_prev(vy_lo, k, r)
+        vy_below = jnp.where(idx == 0, _edge(vy_lo, 0, k), vy_below)
+        vy_above = from_next_face(vy_lo, vy_top, k + 1)
+        vy_new = _sample_shift_local(
+            vy_lo, -dt * vy_lo / dx, -dt * vx_at_y / dx, k,
+            vy_below, vy_above)
+
+        # vx at x-faces: native vx; vy resampled to x-faces (local W pad).
+        vyc_pad = jnp.pad(vy_c, ((0, 0), (0, 0), (1, 1)), mode="edge")
+        vy_at_x = 0.5 * (vyc_pad[:, :, :-1] + vyc_pad[:, :, 1:])
+        vx_below, vx_above = _halos_cell(vx, k, k + 1, r, idx)
+        vx_new = _sample_shift_local(
+            vx, -dt * vy_at_x / dx, -dt * vx / dx, k, vx_below, vx_above)
+
+        # --- forces / buoyancy (on the ADVECTED density, as in fluid.py) -
+        if fy_lo is not None:
+            vy_new = vy_new + dt * fy_lo
+            vx_new = vx_new + dt * fx
+        b = cfg.buoyancy if buoy is None else buoy
+        if buoy is not None or cfg.buoyancy:
+            dn_prev = _pperm_from_prev(density_new, 1, r)
+            dn_prev = jnp.where(idx == 0, density_new[:, :1, :], dn_prev)
+            d_at_y = 0.5 * (jnp.concatenate(
+                [dn_prev, density_new[:, :-1, :]], axis=1) + density_new)
+            vy_new = vy_new + dt * b * d_at_y
+
+        # --- projection: mask, divergence, CG solve, correct -------------
+        vy_m = vy_new * acc_y_lo
+        vx_m = vx_new * acc_x
+        vy_m_above = from_next_face(vy_m, jnp.zeros_like(vy_top), 1)
+        div = (jnp.concatenate([vy_m[:, 1:, :], vy_m_above], axis=1) - vy_m
+               + vx_m[:, :, 1:] - vx_m[:, :, :-1]) / dx
+
+        acc_above = from_next_face(acc_y_lo[None], acc_y_top[None], 1)[0]
+
+        def psum_dot(a, bb):
+            return lax.psum(
+                jnp.sum(a * bb, axis=(1, 2), keepdims=True), SPACE_AXIS)
+
+        n_fluid = jnp.maximum(
+            lax.psum(jnp.sum(fluid), SPACE_AXIS), 1.0)
+
+        def project(p):
+            mean = lax.psum(
+                jnp.sum(p * fluid, axis=(1, 2), keepdims=True),
+                SPACE_AXIS) / n_fluid
+            return jnp.where(fluid > 0, p - mean, p)
+
+        def grad_p(p):
+            """Gated ∇p: (gy_lo, gy_hi, gx) — gy_hi is the slab's top
+            face row (face index Hk), needed by the divergence."""
+            p_prev = _pperm_from_prev(p, 1, r)  # rank 0: killed by gate
+            p_next = _pperm_from_next(p, 1, r)  # top:    killed by gate
+            pm = jnp.concatenate([p_prev, p[:, :-1, :]], axis=1)
+            gy_lo = (p - pm) / dx * acc_y_lo
+            gy_hi = (p_next - p[:, -1:, :]) / dx * acc_above
+            gxp = jnp.pad(p, ((0, 0), (0, 0), (1, 1)))
+            gx = (gxp[:, :, 1:] - gxp[:, :, :-1]) / dx * acc_x
+            return gy_lo, gy_hi, gx
+
+        def matvec_raw(p):
+            gy_lo, gy_hi, gx = grad_p(p)
+            lap = (jnp.concatenate([gy_lo[:, 1:, :], gy_hi], axis=1) - gy_lo
+                   + gx[:, :, 1:] - gx[:, :, :-1]) / dx
+            return jnp.where(fluid > 0, -lap, p)
+
+        def matvec(p):
+            return project(matvec_raw(project(p)))
+
+        def cg_solve(rhs, guess):
+            x = jnp.zeros_like(rhs) if guess is None else guess
+            res = rhs - matvec(x)
+            d = res
+            rs = psum_dot(res, res)
+            b2 = jnp.maximum(psum_dot(rhs, rhs), 1e-30)
+            tol2 = tol * tol
+
+            def active(rs_i, rs_best):
+                return jnp.logical_and(rs_i / b2 > tol2,
+                                       rs_i < 4.0 * rs_best)
+
+            def any_active(rs_i, rs_best):
+                # The loop body's ppermutes lower to one collective over
+                # the WHOLE mesh, so every rank must run the same number
+                # of iterations — a per-'data'-row trip count deadlocks
+                # the collective (converged elements are frozen by the
+                # safeguards, so the extra iterations are no-ops).
+                local = jnp.any(active(rs_i, rs_best)).astype(jnp.float32)
+                return lax.pmax(local, (DATA_AXIS, SPACE_AXIS))
+
+            def cond(s):
+                flag, i = s[-2], s[-1]
+                return jnp.logical_and(i < maxiter, flag > 0)
+
+            def body(s):
+                x, res, d, rs_i, x_best, rs_best, _, i = s
+                act = active(rs_i, rs_best)
+                ad = matvec(d)
+                dad = psum_dot(d, ad)
+                ok = jnp.logical_and(act, dad > 0)
+                alpha = jnp.where(
+                    ok, rs_i / jnp.where(dad > 0, dad, 1.0), 0.0)
+                x = x + alpha * d
+                res = res - alpha * ad
+                rs_new = psum_dot(res, res)
+                beta = jnp.where(
+                    ok, rs_new / jnp.where(rs_i != 0, rs_i, 1.0), 0.0)
+                d = res + beta * d
+                better = rs_new < rs_best
+                x_best = jnp.where(better, x, x_best)
+                rs_best = jnp.minimum(rs_new, rs_best)
+                return (x, res, d, rs_new, x_best, rs_best,
+                        any_active(rs_new, rs_best), i + 1)
+
+            s = (x, res, d, rs, x, rs, any_active(rs, rs), jnp.int32(0))
+            return lax.while_loop(cond, body, s)[4]
+
+        def make_solve(guess):
+            def solve(mv, rhs):
+                return cg_solve(project(rhs),
+                                None if guess is None else project(guess))
+
+            return solve
+
+        rhs = jnp.where(fluid > 0, -div, 0.0)
+        guess = None if x0 is None else lax.stop_gradient(x0)
+        p = lax.custom_linear_solve(
+            matvec, rhs, solve=make_solve(guess), symmetric=True,
+            transpose_solve=make_solve(None) if guess is not None else None)
+
+        gy_lo, _, gx = grad_p(p)
+        return vy_m - gy_lo, vx_m - gx, density_new, p
+
+    # ---- assemble specs and run --------------------------------------
+    bspec = P(DATA_AXIS, SPACE_AXIS, None)   # batched, H-sharded
+    tspec = P(DATA_AXIS, None, None)         # batched, H-replicated (tops)
+    mspec = P(SPACE_AXIS, None)              # unbatched mask
+    rspec = P()                              # replicated
+
+    vy_lo, vy_top = state.velocity.vy[:, :-1, :], state.velocity.vy[:, -1:, :]
+    has_force = force is not None
+    fy_lo = force.vy[:, :-1, :] if has_force else None
+    fy_top = force.vy[:, -1:, :] if has_force else None
+    fx = force.vx if has_force else None
+    buoy = buoyancy_factor
+    inflow = state.inflow
+    if inflow is not None and inflow.ndim == 2:
+        inflow = jnp.broadcast_to(inflow[None], state.density.shape)
+    x0 = state.pressure
+
+    args = (vy_lo, vy_top, state.velocity.vx, state.density, inflow, x0,
+            fy_lo, fy_top, fx, buoy, domain.fluid_mask,
+            domain.acc_y[:-1, :], domain.acc_y[-1:, :], domain.acc_x)
+    specs = (bspec, tspec, bspec, bspec,
+             bspec if inflow is not None else None,
+             bspec if x0 is not None else None,
+             bspec if has_force else None,
+             tspec if has_force else None,
+             bspec if has_force else None,
+             tspec if buoy is not None else None,
+             mspec, mspec, rspec, mspec)
+    in_specs = tuple(s for s, a in zip(specs, args) if a is not None)
+    live = tuple(a for a in args if a is not None)
+    mask = tuple(a is not None for a in args)
+
+    def wrapper(*live_args):
+        it = iter(live_args)
+        full = tuple(next(it) if m else None for m in mask)
+        return local_step(*full)
+
+    vy_lo2, vx2, density2, p2 = shard_map(
+        wrapper, mesh=mesh, in_specs=in_specs,
+        out_specs=(bspec, bspec, bspec, bspec), check_rep=False)(*live)
+
+    vy2 = jnp.concatenate(
+        [vy_lo2, jnp.zeros_like(state.velocity.vy[:, -1:, :])], axis=1)
+    return FluidState(
+        velocity=Staggered2D(vy=vy2, vx=vx2), density=density2,
+        inflow=state.inflow,
+        pressure=p2 if state.pressure is not None else None)

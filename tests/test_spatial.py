@@ -1,0 +1,89 @@
+"""Spatial domain decomposition (parallel/spatial.py) — the sharded-grid
+fluid step must match the single-device one, forward and gradients, and
+must KEEP its fields sharded along the 'space' mesh axis (the
+memory-scaling point: one grid split across the slice's HBM). Subprocess
+for the same reason as test_mesh.py: device counts are fixed at
+interpreter start."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from pde_control_tpu.parallel.spatial import spatial_spec
+
+
+def _run(extra):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # sitecustomize: skip TPU register
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    script = os.path.join(repo, "tests", "_spatial_equality_check.py")
+    return subprocess.run([sys.executable, script] + extra, env=env,
+                          cwd=repo, capture_output=True, text=True,
+                          timeout=900)
+
+
+def test_spatial_sharded_rollout_matches_single_device():
+    """Direct forcing: 3-step rollout, loss + final fields + force grads."""
+    out = _run([])
+    assert out.returncode == 0, out.stdout + "\n" + out.stderr
+    assert "SPATIAL_EQUALITY_OK" in out.stdout, out.stdout + "\n" + out.stderr
+
+
+def test_spatial_sharded_indirect_inflow_warmstart():
+    """Indirect control (per-batch buoyancy factor) + inflow + warm-started
+    pressure: the gradient wrt the control channel must match."""
+    out = _run(["--indirect"])
+    assert out.returncode == 0, out.stdout + "\n" + out.stderr
+    assert "SPATIAL_INDIRECT_OK" in out.stdout, out.stdout + "\n" + out.stderr
+
+
+def test_spatial_spec_convention():
+    """The leaf-rank → PartitionSpec table from the module docstring."""
+    from jax.sharding import PartitionSpec as P
+
+    assert spatial_spec(3, 2) == P("data", "space", None)      # (B, H, W)
+    assert spatial_spec(2, 2) == P("space", None)              # (H, W) mask
+    assert spatial_spec(4, 3) == P("data", "space", None, None)
+    assert spatial_spec(3, 3) == P("space", None, None)        # (D, H, W)
+    assert spatial_spec(1, 2) == P()                           # replicated
+    with pytest.raises(ValueError):
+        spatial_spec(3, 4)
+
+
+def test_spatial_step_scope_validation():
+    """The documented scope restrictions fail fast with clear messages."""
+    from pde_control_tpu.grids import Domain2D
+    from pde_control_tpu.physics.fluid import FluidConfig, FluidState
+
+    # No devices needed: every validation fires before shard_map tracing,
+    # and only mesh.shape is read — a duck-typed stub suffices.
+    import types
+
+    mesh = types.SimpleNamespace(shape={"data": 1, "space": 2})
+    state = FluidState.zeros(2, 16, 16)
+    from pde_control_tpu.parallel.spatial import spatial_fluid_step
+
+    open_domain = Domain2D.create(16, 16, closed=False)
+    with pytest.raises(ValueError, match="closed"):
+        spatial_fluid_step(state, open_domain, FluidConfig(), mesh)
+    domain = Domain2D.create(16, 16)
+    with pytest.raises(ValueError, match="viscosity"):
+        spatial_fluid_step(state, domain, FluidConfig(viscosity=0.1), mesh)
+    with pytest.raises(ValueError, match="shift"):
+        spatial_fluid_step(state, domain,
+                           FluidConfig(advection_mode="gather"), mesh)
+    with pytest.raises(ValueError, match="CG"):
+        spatial_fluid_step(state, domain,
+                           FluidConfig(pressure_backend="spectral"), mesh)
+    mesh3 = types.SimpleNamespace(shape={"data": 1, "space": 3})
+    with pytest.raises(ValueError, match="divisible"):
+        spatial_fluid_step(state, domain, FluidConfig(), mesh3)
+    mesh8 = types.SimpleNamespace(shape={"data": 1, "space": 8})
+    with pytest.raises(ValueError, match="max_shift"):
+        spatial_fluid_step(state, domain, FluidConfig(max_shift=2), mesh8)
