@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pde_control_tpu.grids import Domain2D, Staggered2D
@@ -405,7 +405,7 @@ def spatial_fluid_step(
 
     vy_lo2, vx2, density2, p2 = shard_map(
         wrapper, mesh=mesh, in_specs=in_specs,
-        out_specs=(bspec, bspec, bspec, bspec), check_rep=False)(*live)
+        out_specs=(bspec, bspec, bspec, bspec), check_vma=False)(*live)
 
     vy2 = jnp.concatenate(
         [vy_lo2, jnp.zeros_like(state.velocity.vy[:, -1:, :])], axis=1)
