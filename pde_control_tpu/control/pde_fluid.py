@@ -46,6 +46,11 @@ class IncompressibleFluidPDE(PDE):
         cfe_features: tuple | None = None,  # conv widths; None = CFENet
         # default. Wider CFEs cut per-step tracking drift on the indirect
         # smoke task (the binding error term — RESULTS.md config-4 note).
+        op_base_features: int = 16,  # U-net stem width. Round-4 microbench
+        # (scripts/ab_convwidth.py): conv wall-clock is ~flat in channel
+        # width on this chip up to C≈256 (2.8 → 39.7 TFLOP/s at equal ms),
+        # so doubling widths buys ~4x net FLOPs nearly free — the MXU-fill
+        # operating-point lever (scripts/ab_width.py measures it end2end).
         with_inflow: bool = False,  # batches carry per-sample 'inflow' —
         # a continuous smoke source (reference Inflow FieldEffect [R]); the
         # CFE sees it as an extra input channel.
@@ -62,6 +67,7 @@ class IncompressibleFluidPDE(PDE):
         self.force_mask = force_mask
         self.unet_levels = unet_levels
         self.cfe_features = cfe_features
+        self.op_base_features = op_base_features
         self.with_inflow = with_inflow
         self.dtype = dtype
         self.conv_impl = conv_impl
@@ -116,7 +122,8 @@ class IncompressibleFluidPDE(PDE):
                       conv_impl=self.conv_impl, **kw)
 
     def build_op(self):
-        return UNet(out_channels=1, levels=self.unet_levels, base_features=16,
+        return UNet(out_channels=1, levels=self.unet_levels,
+                    base_features=self.op_base_features,
                     dim=2, dtype=self.dtype, conv_impl=self.conv_impl)
 
     def op_inputs(self, o_start, o_end):

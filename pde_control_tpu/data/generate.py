@@ -169,15 +169,69 @@ def random_shape_densities(
     return jnp.where(is_circle, circles, boxes)
 
 
+def random_cross_densities(
+    key: jax.Array, batch: int, h: int, w: int,
+    size_range=(5.0, 10.0), margin: int = 12, smooth: float = 1.5,
+) -> jnp.ndarray:
+    """Random rasterized CROSSES (union of two elongated boxes) — a shape
+    family WITHHELD from training (random_shape_densities draws circles
+    and boxes only); the round-4 generalization eval's OOD targets."""
+    from pde_control_tpu.geom import Box, rasterize, union
+
+    margin = min(margin, h // 4, w // 4)
+    k_pos, k_size, k_t = jax.random.split(key, 3)
+    pos = jax.random.uniform(
+        k_pos, (batch, 2, 1, 1),
+        minval=float(margin), maxval=jnp.array([[h - margin], [w - margin]],
+                                               jnp.float32)[None, :, :, None],
+    )
+    cy, cx = pos[:, 0], pos[:, 1]
+    arm = jax.random.uniform(k_size, (batch, 1, 1),
+                             minval=size_range[0], maxval=size_range[1])
+    thick = arm * jax.random.uniform(k_t, (batch, 1, 1), minval=0.25,
+                                     maxval=0.45)
+    cross = union(
+        Box(y0=cy - arm, x0=cx - thick, y1=cy + arm, x1=cx + thick),
+        Box(y0=cy - thick, x0=cx - arm, y1=cy + thick, x1=cx + arm))
+    return rasterize(cross, h, w, smooth=smooth)
+
+
+def random_ring_densities(
+    key: jax.Array, batch: int, h: int, w: int,
+    size_range=(6.0, 10.0), margin: int = 12, smooth: float = 1.5,
+) -> jnp.ndarray:
+    """Random rasterized RINGS (annulus = outer disc minus inner disc) —
+    the second withheld shape family (hollow topology: nothing like it in
+    the circles+boxes training distribution)."""
+    from pde_control_tpu.geom import Sphere, rasterize
+
+    margin = min(margin, h // 4, w // 4)
+    k_pos, k_size, k_in = jax.random.split(key, 3)
+    pos = jax.random.uniform(
+        k_pos, (batch, 2, 1, 1),
+        minval=float(margin), maxval=jnp.array([[h - margin], [w - margin]],
+                                               jnp.float32)[None, :, :, None],
+    )
+    cy, cx = pos[:, 0], pos[:, 1]
+    r_out = jax.random.uniform(k_size, (batch, 1, 1),
+                               minval=size_range[0], maxval=size_range[1])
+    r_in = r_out * jax.random.uniform(k_in, (batch, 1, 1), minval=0.4,
+                                      maxval=0.65)
+    outer = rasterize(Sphere(cy=cy, cx=cx, r=r_out), h, w, smooth=smooth)
+    inner = rasterize(Sphere(cy=cy, cx=cx, r=r_in), h, w, smooth=smooth)
+    return jnp.clip(outer - inner, 0.0, 1.0)
+
+
 def random_inflow(
     key: jax.Array, batch: int, h: int, w: int,
     rate: float = 0.08, sigma: float = 2.0, y0: float = 4.0,
+    x_range: tuple = (0.15, 0.85),
 ) -> jnp.ndarray:
     """Continuous smoke sources (B, H, W): a Gaussian emitter of strength
     `rate` near the bottom wall at random x (reference: Inflow FieldEffect
     at the smoke task's source [R])."""
-    xs = jax.random.uniform(key, (batch, 1, 1), minval=0.15 * w,
-                            maxval=0.85 * w)
+    xs = jax.random.uniform(key, (batch, 1, 1), minval=x_range[0] * w,
+                            maxval=x_range[1] * w)
     yy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
     xx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
     r2 = (yy - y0) ** 2 + (xx - xs) ** 2
@@ -193,6 +247,7 @@ def generate_inflow_smoke_dataset(
     control_amplitude: float = 0.6,
     batch: int = 8,
     warmup: int = 8,
+    inflow_kwargs: dict | None = None,
 ) -> TrajectoryDataset:
     """The reference's actual smoke benchmark data (VERDICT r1 items 2-3):
     an inflow-driven plume rising through obstacles, steered by a WITHHELD
@@ -242,7 +297,7 @@ def generate_inflow_smoke_dataset(
     while remaining > 0:
         b = min(batch, remaining)
         key, k1, k2 = jax.random.split(key, 3)
-        inflow = random_inflow(k1, b, h, w)
+        inflow = random_inflow(k1, b, h, w, **(inflow_kwargs or {}))
         b_field = random_smooth_field_2d(k2, b, h, w,
                                          amplitude=control_amplitude)
         traj, vel0 = rollout(inflow, b_field)  # (T+1, b, H, W)
@@ -293,8 +348,12 @@ def generate_forced_smoke_dataset(
     moderate force — BASELINE config 3/5 data."""
     from pde_control_tpu.grids import centered_to_x_faces, centered_to_y_faces
 
+    # 'crosses' / 'rings' are WITHHELD from every training run (which uses
+    # 'shapes' = circles+boxes) — they exist for OOD generalization evals.
     init_fn = {"shapes": random_shape_densities,
-               "blobs": random_smoke_blobs}[init]
+               "blobs": random_smoke_blobs,
+               "crosses": random_cross_densities,
+               "rings": random_ring_densities}[init]
     h, w = domain.grid_shape
 
     @jax.jit

@@ -58,6 +58,7 @@ def run_comparison(
     steps_per_call: int = 8,
     adjoint_iterations: int = 500,
     adjoint_lr: float = 0.05,
+    adjoint_microbatch: int | None = None,
     grad_clip: float | None = 1.0,  # solver-in-the-loop invariant
     # (CLAUDE.md): every unclipped e2e run eventually diverged; None
     # opts out explicitly.
@@ -81,6 +82,13 @@ def run_comparison(
             results = json.load(f)
 
     def _flush():
+        from pde_control_tpu.utils.epoch import vm_epoch
+
+        # Epoch of the run that produced the last-written row: a resumed
+        # comparison on a NEW VM keeps old rows (their data still lives on
+        # disk caches only within one VM life) — per-row epochs would be
+        # overkill; the file-level stamp records the writer.
+        results.setdefault("vm_epoch", vm_epoch())
         with open(out_path, "w") as f:
             json.dump(results, f, indent=2, default=float)
 
@@ -94,8 +102,13 @@ def run_comparison(
         clear_autosave(workdir, tag)
 
     # --- shared supervised stages -------------------------------------------
+    # Skipped entirely when every scheme row is already in comparison.json:
+    # a resume that only needs the adjoint/zero-force rows (which use no
+    # networks) must not retrain supervised stages whose checkpoints a VM
+    # reset wiped (the rows themselves survive in the committed mirror).
+    schemes_done = resume and all(s in results for s in SCHEMES)
     cfe_dir = os.path.join(workdir, "ckpt_cfe")
-    if not _saved(cfe_dir, "CFE"):
+    if not schemes_done and not _saved(cfe_dir, "CFE"):
         app = ControlTraining(
             n, trainable_networks=("CFE",), sequence_class="chain",
             obs_loss_frames=tuple(range(1, n + 1)),
@@ -108,7 +121,7 @@ def run_comparison(
 
     ops_dir = os.path.join(workdir, "ckpt_ops")
     for span in sorted(op_spans(n)):
-        if _saved(ops_dir, f"OP{span}"):
+        if schemes_done or _saved(ops_dir, f"OP{span}"):
             continue
         app = ControlTraining(
             n, trainable_networks=(f"OP{span}",),
@@ -159,36 +172,65 @@ def run_comparison(
     # indirect smoke task that is a direct staggered force, i.e. strictly
     # more authority than the buoyancy-only CFE. Report it as the
     # upper-bound comparator the paper uses, not an equal-footing method.
+    adjoint_done = (resume and isinstance(results.get("adjoint"), dict)
+                    and not results["adjoint"].get("skipped"))
     if adjoint_iterations <= 0:
         # Explicitly skippable: the per-trajectory adjoint baseline's
         # backprop through the full horizon on the whole eval batch is the
         # heaviest single program in the comparison (at n=64 it crashed the
         # TPU worker), and its qualitative result — collapse at long
         # horizon — is already established at n=32.
-        results.setdefault("adjoint", {"skipped": True,
-                                       "reason": "adjoint_iterations<=0"})
-    elif not (resume and "adjoint" in results):
-        state0 = jax.jit(pde.initial_state)(batch)
+        if not adjoint_done:
+            results["adjoint"] = {"skipped": True,
+                                  "reason": "adjoint_iterations<=0"}
+    elif not adjoint_done:
         import jax.numpy as jnp
 
-        target = jnp.asarray(batch["obs"][:, n])
-        forces, hist = optimize_forces(
-            pde, state0, target, n=n, iterations=adjoint_iterations,
-            learning_rate=adjoint_lr, force_reg=force_reg)
-        abs_means = jax.vmap(pde.force_abs_mean)(forces)
+        # Microbatching (round 4, the n=64 fix): the whole-eval-batch
+        # 64-step backprop is the heaviest program in the suite and
+        # crashed the TPU worker at n=64 in round 3. Optimizing
+        # `adjoint_microbatch` trajectories per program divides peak
+        # memory by batch/microbatch at zero protocol cost — the adjoint
+        # optimizes each trajectory independently (per-sample loss
+        # terms; chunks share one compiled program since shapes match).
+        nb = int(next(iter(jax.tree_util.tree_leaves(batch))).shape[0])
+        mb = adjoint_microbatch or nb
+        chunk_mse, chunk_force, chunk_cost, sizes = [], [], [], []
+        for lo in range(0, nb, mb):
+            part = {k: v[lo:lo + mb] for k, v in batch.items()}
+            if int(part["obs"].shape[0]) != mb:
+                continue  # val sizes are multiples of mb in practice
+            state0 = jax.jit(pde.initial_state)(part)
+            target = jnp.asarray(part["obs"][:, n])
+            forces, hist = optimize_forces(
+                pde, state0, target, n=n, iterations=adjoint_iterations,
+                learning_rate=adjoint_lr, force_reg=force_reg)
+            abs_means = jax.vmap(pde.force_abs_mean)(forces)
+            chunk_mse.append(float(np.asarray(hist["obs_loss"])[-1]))
+            chunk_force.append(float(np.mean(np.asarray(abs_means))))
+            chunk_cost.append(float(np.asarray(hist["force_cost"])[-1]))
+            sizes.append(int(part["obs"].shape[0]))
+        wts = np.asarray(sizes, np.float64) / max(sum(sizes), 1)
         results["adjoint"] = {
-            "final_state_mse": float(np.asarray(hist["obs_loss"])[-1]),
-            "mean_abs_force": float(np.mean(np.asarray(abs_means))),
-            "mean_force_cost": float(np.asarray(hist["force_cost"])[-1]),
+            "final_state_mse": float(np.asarray(chunk_mse) @ wts),
+            "final_state_mse_sem": float(
+                np.std(chunk_mse) / max(len(chunk_mse) - 1, 1) ** 0.5),
+            "mean_abs_force": float(np.asarray(chunk_force) @ wts),
+            "mean_force_cost": float(np.asarray(chunk_cost) @ wts),
             "iterations": adjoint_iterations,
+            "microbatch": mb,
+            "num_trajectories": int(sum(sizes)),
         }
         _flush()
     if not (resume and "zero_force" in results):
         # zero-force context on the same deterministic val prefix (the
         # scheme rows also carry their own full-val-set zero_force_final_mse)
+        # The zero-force rollout uses no network output; restore the CFE
+        # only when its checkpoint survives (a VM reset may have wiped it).
         app_any = ControlTraining(
             n, trainable_networks=("CFE",), sequence_class="chain_final",
-            restore={"CFE": cfe_dir}, **common).prepare()
+            restore={"CFE": cfe_dir} if os.path.isdir(cfe_dir) else None,
+            **common).prepare()
         natural = zero_force_baseline(app_any, batch)
         results["zero_force"] = {
             "final_state_mse": float(np.mean(
@@ -227,6 +269,7 @@ def compare_smoke(workdir: str, size: int = 64, n: int = 16,
                   control_amplitude: float = 0.6,
                   grad_clip: float | None = None,
                   adjoint_iterations: int = 300,
+                  adjoint_microbatch: int | None = None,
                   resume: bool = False) -> dict:
     import jax.numpy as jnp
 
@@ -256,6 +299,7 @@ def compare_smoke(workdir: str, size: int = 64, n: int = 16,
                           batch_size=batch_size, iterations=iterations,
                           force_reg=3e-4, adjoint_lr=0.5,
                           adjoint_iterations=adjoint_iterations,
+                          adjoint_microbatch=adjoint_microbatch,
                           grad_clip=grad_clip, resume=resume)
 
 
@@ -289,9 +333,12 @@ def compare_smoke_64(workdir: str, iterations: int = 1500,
     inside the max_shift CFL bound over the rollout)."""
     if smoke_test:
         return compare_smoke(workdir, smoke_test=True)
-    # adjoint_iterations=0: at n=64 the adjoint row's whole-batch
-    # full-horizon backprop crashed the TPU worker ("kernel fault", round
-    # 3); its collapse at long horizon is already measured at n=32.
+    # adjoint_microbatch=4 (round 4): the round-3 whole-batch (32-traj)
+    # 64-step backprop crashed the TPU worker ("kernel fault") and the row
+    # was skipped; optimizing 4 trajectories per program divides peak
+    # memory 8x and completes the paper's scheme table at the horizon
+    # where the hierarchy claim is strongest.
     return compare_smoke(workdir, n=64, iterations=iterations,
                          control_amplitude=0.15, grad_clip=1.0,
-                         adjoint_iterations=0, resume=resume)
+                         adjoint_iterations=300, adjoint_microbatch=4,
+                         resume=resume)

@@ -233,6 +233,9 @@ def run_curriculum(
     # ---- stage 4: eval ------------------------------------------------------
     results["eval"] = evaluate_control(app, val_dataset, cfg.n,
                                        render_dir=workdir)
+    from pde_control_tpu.utils.epoch import stamp
+
+    stamp(results)  # VM/dataset epoch: cross-reset MSEs compare by ratio only
     with open(os.path.join(workdir, "results.json"), "w") as f:
         json.dump(results, f, indent=2, default=float)
     return results
@@ -300,6 +303,9 @@ def finetune_e2e(
         clear_autosave(workdir, "ft")
     results["eval"] = evaluate_control(app, val_dataset, cfg.n,
                                        render_dir=workdir)
+    from pde_control_tpu.utils.epoch import stamp
+
+    stamp(results)
     with open(os.path.join(workdir, "results.json"), "w") as f:
         json.dump(results, f, indent=2, default=float)
     return results

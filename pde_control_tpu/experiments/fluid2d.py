@@ -145,11 +145,16 @@ def run_shape_transition_ft(workdir: str, init_from: str,
 
 def _smoke_indirect_setup(size: int, n: int, num_train: int, num_val: int,
                           control_amplitude: float,
-                          datadir: str | None):
+                          datadir: str | None, width: int = 1):
     """The indirect-smoke task's (pde, train, val) — shared by the main
     curriculum (config 4 at 64², the 128² stretch) and the fine-tune
     entry so both train on the SAME task and datasets (same generation
-    seeds, same disk-cache keys)."""
+    seeds, same disk-cache keys).
+
+    width: net-width multiplier (MXU-fill operating point, round 4 —
+    scripts/ab_width.py: width 2 = 4x the net FLOPs at +27% iteration
+    wall-clock on v5e). Datasets/physics are width-independent, so wide
+    and narrow runs share the same --datadir cache."""
     obstacles = default_obstacles(size, size)
     domain = Domain2D.create(size, size, obstacle_mask=jnp.asarray(obstacles))
     cfg = FluidConfig(dt=1.0, buoyancy=0.08, pressure_tol=1e-4,
@@ -167,10 +172,11 @@ def _smoke_indirect_setup(size: int, n: int, num_train: int, num_val: int,
         lambda: generate_inflow_smoke_dataset(
             domain, cfg, num_val, n, seed=999,
             control_amplitude=control_amplitude))
-    pde = IncompressibleFluidPDE(domain, cfg, control="buoyancy",
-                                 with_inflow=True,
-                                 unet_levels=3 if size >= 32 else 2,
-                                 cfe_features=(48, 96, 96, 48))
+    pde = IncompressibleFluidPDE(
+        domain, cfg, control="buoyancy", with_inflow=True,
+        unet_levels=3 if size >= 32 else 2,
+        cfe_features=tuple(width * f for f in (48, 96, 96, 48)),
+        op_base_features=16 * width)
     return pde, train, val
 
 
@@ -180,15 +186,18 @@ def run_smoke_indirect(workdir: str, size: int = 64, n: int = 16,
                        control_amplitude: float = 1.0,
                        e2e_iterations: int | None = None,
                        mesh=None, datadir: str | None = None,
-                       seed: int = 0, resume: bool = False) -> dict:
+                       seed: int = 0, resume: bool = False,
+                       width: int = 1) -> dict:
     """Config 4: indirect smoke control — inflow-driven plume through an
     obstacle course, buoyancy-only forcing, targets from withheld control.
 
     `control_amplitude` scales the withheld buoyancy-modulation field: it
     sets how far targets deviate from natural evolution (the zero-force
-    baseline MSE), i.e. how much signal the controller must supply."""
+    baseline MSE), i.e. how much signal the controller must supply.
+    `width` multiplies all net widths (the round-4 MXU-fill Pareto run)."""
     pde, train, val = _smoke_indirect_setup(size, n, num_train, num_val,
-                                            control_amplitude, datadir)
+                                            control_amplitude, datadir,
+                                            width=width)
     # grad_clip + e2e_lr 1e-4: the wider CFE diverged catastrophically in
     # e2e at lr 3e-4 unclipped (force cost blew up to 1e24 in the 4000-iter
     # r2 run) — long-horizon solver-in-the-loop gradients need the clip.

@@ -28,7 +28,7 @@ def main() -> None:
         "compare_smoke_64", "smoke3d", "smoke3d_indirect",
         "smoke3d_indirect_ft", "smoke3d_ft", "smoke_128", "smoke_128_ft",
         "natural_flow_128_ft", "smoke_indirect_ft",
-        "shape_transition_ft"])
+        "shape_transition_ft", "generalize_shapes", "generalize_smoke"])
     p.add_argument("--workdir", default=None)
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--smoke-test", action="store_true")
@@ -53,6 +53,10 @@ def main() -> None:
     p.add_argument("--force-reg", type=float, default=None,
                    help="force-regularizer override (fine-tune entries; "
                         "annealing below the from-scratch-stable value)")
+    p.add_argument("--width", type=int, default=None,
+                   help="net-width multiplier (MXU-fill Pareto variant; "
+                        "scripts/ab_width.py: 2x width = 4x net FLOPs at "
+                        "+27%% iteration wall-clock on v5e)")
     p.add_argument("--resume", action="store_true",
                    help="skip curriculum stages whose checkpoint already "
                         "exists in --workdir (stage-granular restart of a "
@@ -84,14 +88,16 @@ def main() -> None:
                         "smoke3d_indirect_ft", "smoke3d_ft"},
         "seed": {"smoke_indirect", "natural_flow_128", "shape_transition",
                  "smoke3d", "smoke3d_indirect", "smoke_128"} | ft,
-        "num_val": {"smoke_indirect", "natural_flow_128", "shape_transition",
-                    "smoke_128", "smoke3d", "smoke3d_indirect"} | ft,
         "resume": {"smoke_indirect", "natural_flow_128", "shape_transition",
                    "smoke_128", "smoke3d", "smoke3d_indirect",
                    "compare_burgers", "compare_smoke", "compare_smoke_long",
                    "compare_smoke_64"} | ft,
-        "init_from": ft,
+        "init_from": ft | {"generalize_shapes", "generalize_smoke"},
         "force_reg": ft,
+        "width": {"smoke_indirect", "smoke_128", "generalize_smoke"},
+        "num_val": {"smoke_indirect", "natural_flow_128", "shape_transition",
+                    "smoke_128", "smoke3d", "smoke3d_indirect",
+                    "generalize_shapes", "generalize_smoke"} | ft,
     }
     for flag, names in supports.items():
         # NB: `v is not False`, not `v not in (None, False)` — 0 == False
@@ -102,7 +108,24 @@ def main() -> None:
             p.error(f"--{flag.replace('_', '-')} is not supported by "
                     f"{args.name!r} (supported: {sorted(names)})")
 
-    if args.name == "burgers_adjoint":
+    if args.name in ("generalize_shapes", "generalize_smoke"):
+        # Eval-only OOD generalization (VERDICT r3 item 4): restores a
+        # finished run's ckpt_final, no training.
+        from pde_control_tpu.experiments import generalize
+
+        if not args.init_from:
+            p.error(f"{args.name} requires --init-from "
+                    "(a finished run's ckpt_final)")
+        fn = (generalize.generalize_shapes
+              if args.name == "generalize_shapes"
+              else generalize.generalize_smoke)
+        kw = {}
+        if args.name == "generalize_smoke" and args.width:
+            kw["width"] = args.width
+        result = fn(workdir, init_from=args.init_from,
+                    num_val=args.num_val or (8 if st else 32),
+                    smoke_test=st, **kw)
+    elif args.name == "burgers_adjoint":
         # The paper's classical comparator: direct force optimization
         # through the differentiable solver (no networks).
         import numpy as np
@@ -183,7 +206,8 @@ def main() -> None:
             num_train=args.num_train or (16 if st else 256),
             num_val=args.num_val or (8 if st else 32),
             batch_size=4 if st else 8, mesh=mesh,
-            datadir=args.datadir, seed=args.seed or 0, resume=args.resume)
+            datadir=args.datadir, seed=args.seed or 0, resume=args.resume,
+            width=args.width or 1)
     elif args.name == "smoke_indirect":
         result = fluid2d.run_smoke_indirect(
             workdir, size=16 if st else 64, n=4 if st else 16,
@@ -192,7 +216,8 @@ def main() -> None:
             num_train=args.num_train or (16 if st else 256),
             num_val=args.num_val or (8 if st else 32),
             batch_size=4 if st else 8, mesh=mesh,
-            datadir=args.datadir, seed=args.seed or 0, resume=args.resume)
+            datadir=args.datadir, seed=args.seed or 0, resume=args.resume,
+            width=args.width or 1)
     elif args.name == "smoke3d":
         from pde_control_tpu.experiments.smoke3d import run_smoke3d
 

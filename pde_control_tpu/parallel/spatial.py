@@ -24,9 +24,15 @@ program is pinned to the dense one by tests/test_spatial.py (forward
 AND gradients, on an 8-device CPU mesh).
 
 Scope (validated, documented): closed domains (walls/obstacles — all
-benchmark fluid tasks), viscosity 0, shift advection, plain distributed
-CG for pressure (the spectral preconditioner is a global transform; a
-distributed preconditioner is future work). Generic GSPMD helpers
+benchmark fluid tasks), viscosity 0, shift advection. Pressure solves
+(round 4): the global DCT-II Neumann solve runs DISTRIBUTED — the W-axis
+basis matmul is local, the H-axis matmul is computed as per-slab partial
+products combined with `lax.psum_scatter` (the classic distributed-
+transpose pattern: two reduce-scatters of the field per apply, FLOPs
+perfectly sharded). Obstacle-free domains use it as the EXACT solve (no
+iteration at all); obstacle domains use it as the deflated preconditioner
+inside the distributed CG, making iteration counts grid-size-independent
+(the round-3 plain-CG path scaled O(N)). Generic GSPMD helpers
 (`spatial_spec`/`spatial_shard`) remain for divisible-axis pytrees
 (centered fields, batches, 3D volumes).
 """
@@ -41,6 +47,11 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pde_control_tpu.grids import Domain2D, Staggered2D
+from pde_control_tpu.ops.spectral import (
+    _PRECISION,
+    _dct_matrix,
+    _inv_neumann_eigenvalues,
+)
 from pde_control_tpu.physics.fluid import FluidConfig, FluidState
 
 DATA_AXIS = "data"
@@ -102,6 +113,178 @@ def spatial_shard(tree, mesh: Mesh, ndim: int = 2):
             x, NamedSharding(mesh, spatial_spec(rank, ndim)))
 
     return jax.tree_util.tree_map(one, tree)
+
+
+# ---------------------------------------------------------------------------
+# Distributed pressure solve (runs INSIDE shard_map on local slabs).
+# ---------------------------------------------------------------------------
+
+
+class _PressureOps:
+    """The distributed pressure-solve closures over one rank's slab.
+
+    Built inside shard_map (all arguments are local (B, Hk, W) slabs /
+    mask slabs plus the replicated basis matrices); provides the gated
+    operator, the global-mean deflation projection, the distributed
+    exact/preconditioned solves, and a CG that also reports its iteration
+    count (the scaling-study diagnostic; custom_linear_solve discards it).
+    """
+
+    def __init__(self, fluid, acc_y_lo, acc_above, acc_x, idx, *, r, w, dx,
+                 tol, maxiter, mode, qh, qw, inv_lam):
+        self.fluid, self.idx, self.r, self.w, self.dx = fluid, idx, r, w, dx
+        self.acc_y_lo, self.acc_above, self.acc_x = acc_y_lo, acc_above, acc_x
+        self.tol, self.maxiter, self.mode = tol, maxiter, mode
+        self.qh, self.qw, self.inv_lam = qh, qw, inv_lam
+        self.n_fluid = jnp.maximum(lax.psum(jnp.sum(fluid), SPACE_AXIS), 1.0)
+
+    def psum_dot(self, a, b):
+        return lax.psum(
+            jnp.sum(a * b, axis=(1, 2), keepdims=True), SPACE_AXIS)
+
+    def project(self, p):
+        mean = lax.psum(
+            jnp.sum(p * self.fluid, axis=(1, 2), keepdims=True),
+            SPACE_AXIS) / self.n_fluid
+        return jnp.where(self.fluid > 0, p - mean, p)
+
+    def grad_p(self, p):
+        """Gated ∇p: (gy_lo, gy_hi, gx) — gy_hi is the slab's top face
+        row (face index Hk), needed by the divergence."""
+        r, dx = self.r, self.dx
+        p_prev = _pperm_from_prev(p, 1, r)  # rank 0: killed by gate
+        p_next = _pperm_from_next(p, 1, r)  # top:    killed by gate
+        pm = jnp.concatenate([p_prev, p[:, :-1, :]], axis=1)
+        gy_lo = (p - pm) / dx * self.acc_y_lo
+        gy_hi = (p_next - p[:, -1:, :]) / dx * self.acc_above
+        gxp = jnp.pad(p, ((0, 0), (0, 0), (1, 1)))
+        gx = (gxp[:, :, 1:] - gxp[:, :, :-1]) / dx * self.acc_x
+        return gy_lo, gy_hi, gx
+
+    def matvec_raw(self, p):
+        gy_lo, gy_hi, gx = self.grad_p(p)
+        lap = (jnp.concatenate([gy_lo[:, 1:, :], gy_hi], axis=1) - gy_lo
+               + gx[:, :, 1:] - gx[:, :, :-1]) / self.dx
+        return jnp.where(self.fluid > 0, -lap, p)
+
+    def matvec(self, p):
+        return self.project(self.matvec_raw(self.project(p)))
+
+    def dist_spectral(self, rhs):
+        """Distributed global DCT-II Neumann pseudo-inverse apply.
+
+        rhs: (B, Hk, W) slab → (B, Hk, W) slab of pinv(A_neumann)·rhs,
+        identical math to ops/spectral.py::spectral_neumann_solve. The
+        W-axis basis matmuls are local (W unsharded); the H-axis ones
+        are per-slab partial products combined by `lax.psum_scatter`
+        over 'space' — first scattering the W axis (so the eigenvalue
+        multiply and the inverse-H matmul are local in H), then
+        scattering H back to slabs. Two reduce-scatters of the field
+        per apply; all four matmuls' FLOPs scale 1/r.
+        """
+        qh, qw, inv_lam, idx = self.qh, self.qw, self.inv_lam, self.idx
+        hk, wk = rhs.shape[1], self.w // self.r
+        # forward W-axis DCT (local)
+        c = jnp.einsum("lw,bhw->bhl", qw, rhs, precision=_PRECISION,
+                       preferred_element_type=jnp.float32)
+        # forward H-axis DCT (distributed): partial over my slab rows
+        qh_blk = lax.dynamic_slice_in_dim(qh, idx * hk, hk, axis=1)
+        part = jnp.einsum("kh,bhl->bkl", qh_blk, c, precision=_PRECISION,
+                          preferred_element_type=jnp.float32)
+        spec = lax.psum_scatter(part, SPACE_AXIS, scatter_dimension=2,
+                                tiled=True)          # (B, H, W/r)
+        lam_blk = lax.dynamic_slice_in_dim(inv_lam, idx * wk, wk, axis=1)
+        spec = spec * lam_blk[None]
+        # inverse H-axis DCT (local: full H is resident)
+        sp = jnp.einsum("kh,bkl->bhl", qh, spec, precision=_PRECISION,
+                        preferred_element_type=jnp.float32)
+        # inverse W-axis DCT (distributed): partial over my l-block
+        qw_blk = lax.dynamic_slice_in_dim(qw, idx * wk, wk, axis=0)
+        part2 = jnp.einsum("lw,bhl->bhw", qw_blk, sp, precision=_PRECISION,
+                           preferred_element_type=jnp.float32)
+        return lax.psum_scatter(part2, SPACE_AXIS, scatter_dimension=1,
+                                tiled=True)          # (B, Hk, W)
+
+    def precond(self, res):
+        # Deflated: P ∘ M⁻¹ ∘ P stays SPD on the compatible subspace
+        # (same construction as poisson.solve_pressure's 'pcg').
+        return self.project(self.dist_spectral(self.project(res)))
+
+    def cg_solve(self, rhs, guess):
+        """Distributed (preconditioned) CG; returns (x_best, iterations)."""
+        matvec, psum_dot = self.matvec, self.psum_dot
+        apply_m = self.precond if self.mode == "pcg" else (lambda res: res)
+        x = jnp.zeros_like(rhs) if guess is None else guess
+        res = rhs - matvec(x)
+        z = apply_m(res)
+        d = z
+        rz = psum_dot(res, z)
+        rs = psum_dot(res, res)
+        b2 = jnp.maximum(psum_dot(rhs, rhs), 1e-30)
+        tol2 = self.tol * self.tol
+
+        def active(rs_i, rs_best):
+            return jnp.logical_and(rs_i / b2 > tol2, rs_i < 4.0 * rs_best)
+
+        def any_active(rs_i, rs_best):
+            # The loop body's collectives span the WHOLE mesh, so every
+            # rank must run the same number of iterations — a
+            # per-'data'-row trip count deadlocks the collective
+            # (converged elements are frozen by the safeguards, so the
+            # extra iterations are no-ops).
+            local = jnp.any(active(rs_i, rs_best)).astype(jnp.float32)
+            return lax.pmax(local, (DATA_AXIS, SPACE_AXIS))
+
+        def cond(s):
+            flag, i = s[-2], s[-1]
+            return jnp.logical_and(i < self.maxiter, flag > 0)
+
+        def body(s):
+            x, res, d, rz_i, rs_i, x_best, rs_best, _, i = s
+            act = active(rs_i, rs_best)
+            ad = matvec(d)
+            dad = psum_dot(d, ad)
+            ok = jnp.logical_and(act, dad > 0)
+            alpha = jnp.where(ok, rz_i / jnp.where(dad > 0, dad, 1.0), 0.0)
+            x = x + alpha * d
+            res = res - alpha * ad
+            z = apply_m(res)
+            rz_new = psum_dot(res, z)
+            rs_new = psum_dot(res, res)
+            beta = jnp.where(
+                ok, rz_new / jnp.where(rz_i != 0, rz_i, 1.0), 0.0)
+            d = z + beta * d
+            better = rs_new < rs_best
+            x_best = jnp.where(better, x, x_best)
+            rs_best = jnp.minimum(rs_new, rs_best)
+            return (x, res, d, rz_new, rs_new, x_best, rs_best,
+                    any_active(rs_new, rs_best), i + 1)
+
+        s = (x, res, d, rz, rs, x, rs, any_active(rs, rs), jnp.int32(0))
+        out = lax.while_loop(cond, body, s)
+        return out[5], out[8]
+
+    def make_solve(self, guess):
+        if self.mode == "spectral":
+            def solve(mv, rhs):
+                # Exact: the closed no-obstacle operator is diagonal in
+                # the DCT-II basis — no iteration. Projection inside the
+                # solve (backward cotangents carry a nullspace component;
+                # numerics invariant).
+                return self.project(self.dist_spectral(self.project(rhs)))
+
+            return solve
+
+        def solve(mv, rhs):
+            return self.cg_solve(
+                self.project(rhs),
+                None if guess is None else self.project(guess))[0]
+
+        return solve
+
+
+def _make_pressure_ops(*args, **kwargs) -> _PressureOps:
+    return _PressureOps(*args, **kwargs)
 
 
 # ---------------------------------------------------------------------------
@@ -172,7 +355,10 @@ def spatial_fluid_step(
     """One fluid_step with every field sharded along H over mesh axis
     'space' (and the batch over 'data'). Same semantics as
     physics/fluid.py::fluid_step for the supported scope: closed domain,
-    viscosity 0, shift advection, iterative CG pressure solve.
+    viscosity 0, shift advection. Pressure backends (mirrors
+    poisson._pick_backend on closed domains): 'auto' → exact distributed
+    spectral solve without obstacles / distributed spectral-PCG with
+    them; explicit 'spectral' / 'pcg' / 'jax' (plain distributed CG).
 
     Call under jit (cfg and mesh are static: hashable frozen dataclass /
     Mesh). Inputs may live anywhere — jit reshards them to the
@@ -186,25 +372,45 @@ def spatial_fluid_step(
         raise ValueError("spatial_fluid_step: viscosity not implemented")
     if cfg.advection_mode != "shift":
         raise ValueError("spatial_fluid_step requires shift advection")
-    if cfg.pressure_backend not in ("auto", "jax"):
-        raise ValueError(
-            "spatial_fluid_step solves pressure with plain distributed CG "
-            "('auto'/'jax'); the spectral/pallas paths are single-device "
-            f"(got {cfg.pressure_backend!r})")
+    mode = cfg.pressure_backend
+    if mode == "auto":
+        # Mirror poisson._pick_backend's closed-domain priorities: exact
+        # distributed spectral solve without obstacles, distributed
+        # spectral-PCG with them (the single-device Pallas path does not
+        # apply to sharded slabs).
+        mode = "pcg" if domain.has_obstacles else "spectral"
+    if mode == "pallas":
+        raise ValueError("spatial_fluid_step: the fused Pallas CG is "
+                         "single-device; use 'auto'/'spectral'/'pcg'/'jax'")
+    if mode == "spectral" and domain.has_obstacles:
+        raise ValueError("'spectral' is exact only for domains without "
+                         "obstacles; use 'pcg' (preconditioned CG)")
+    if mode not in ("spectral", "pcg", "jax"):
+        raise ValueError(f"unknown pressure backend {cfg.pressure_backend!r}")
     r = mesh.shape[SPACE_AXIS]
     h, w = domain.grid_shape
     k = int(cfg.max_shift)
     if h % r:
         raise ValueError(f"H={h} not divisible by space axis size {r}")
+    if mode != "jax" and w % r:
+        raise ValueError(f"W={w} not divisible by space axis size {r} "
+                         "(the distributed spectral transform reduce-"
+                         "scatters along W); use pressure_backend='jax'")
     if h // r < k + 2:
         raise ValueError(f"slab of {h // r} rows < max_shift+2={k + 2}; "
                          "use fewer space shards or a taller grid")
     dt, dx = cfg.dt, domain.dx
     tol, maxiter = cfg.pressure_tol, cfg.pressure_maxiter
+    if mode != "jax":
+        qh = jnp.asarray(_dct_matrix(h))
+        qw = jnp.asarray(_dct_matrix(w))
+        inv_lam = jnp.asarray(_inv_neumann_eigenvalues(h, w, dx))
+    else:
+        qh = qw = inv_lam = None
 
     def local_step(vy_lo, vy_top, vx, density, inflow, x0,
                    fy_lo, fy_top, fx, buoy, fluid, acc_y_lo, acc_y_top,
-                   acc_x):
+                   acc_x, qh, qw, inv_lam):
         idx = lax.axis_index(SPACE_AXIS)
         top = idx == r - 1
 
@@ -267,103 +473,21 @@ def spatial_fluid_step(
                + vx_m[:, :, 1:] - vx_m[:, :, :-1]) / dx
 
         acc_above = from_next_face(acc_y_lo[None], acc_y_top[None], 1)[0]
-
-        def psum_dot(a, bb):
-            return lax.psum(
-                jnp.sum(a * bb, axis=(1, 2), keepdims=True), SPACE_AXIS)
-
-        n_fluid = jnp.maximum(
-            lax.psum(jnp.sum(fluid), SPACE_AXIS), 1.0)
-
-        def project(p):
-            mean = lax.psum(
-                jnp.sum(p * fluid, axis=(1, 2), keepdims=True),
-                SPACE_AXIS) / n_fluid
-            return jnp.where(fluid > 0, p - mean, p)
-
-        def grad_p(p):
-            """Gated ∇p: (gy_lo, gy_hi, gx) — gy_hi is the slab's top
-            face row (face index Hk), needed by the divergence."""
-            p_prev = _pperm_from_prev(p, 1, r)  # rank 0: killed by gate
-            p_next = _pperm_from_next(p, 1, r)  # top:    killed by gate
-            pm = jnp.concatenate([p_prev, p[:, :-1, :]], axis=1)
-            gy_lo = (p - pm) / dx * acc_y_lo
-            gy_hi = (p_next - p[:, -1:, :]) / dx * acc_above
-            gxp = jnp.pad(p, ((0, 0), (0, 0), (1, 1)))
-            gx = (gxp[:, :, 1:] - gxp[:, :, :-1]) / dx * acc_x
-            return gy_lo, gy_hi, gx
-
-        def matvec_raw(p):
-            gy_lo, gy_hi, gx = grad_p(p)
-            lap = (jnp.concatenate([gy_lo[:, 1:, :], gy_hi], axis=1) - gy_lo
-                   + gx[:, :, 1:] - gx[:, :, :-1]) / dx
-            return jnp.where(fluid > 0, -lap, p)
-
-        def matvec(p):
-            return project(matvec_raw(project(p)))
-
-        def cg_solve(rhs, guess):
-            x = jnp.zeros_like(rhs) if guess is None else guess
-            res = rhs - matvec(x)
-            d = res
-            rs = psum_dot(res, res)
-            b2 = jnp.maximum(psum_dot(rhs, rhs), 1e-30)
-            tol2 = tol * tol
-
-            def active(rs_i, rs_best):
-                return jnp.logical_and(rs_i / b2 > tol2,
-                                       rs_i < 4.0 * rs_best)
-
-            def any_active(rs_i, rs_best):
-                # The loop body's ppermutes lower to one collective over
-                # the WHOLE mesh, so every rank must run the same number
-                # of iterations — a per-'data'-row trip count deadlocks
-                # the collective (converged elements are frozen by the
-                # safeguards, so the extra iterations are no-ops).
-                local = jnp.any(active(rs_i, rs_best)).astype(jnp.float32)
-                return lax.pmax(local, (DATA_AXIS, SPACE_AXIS))
-
-            def cond(s):
-                flag, i = s[-2], s[-1]
-                return jnp.logical_and(i < maxiter, flag > 0)
-
-            def body(s):
-                x, res, d, rs_i, x_best, rs_best, _, i = s
-                act = active(rs_i, rs_best)
-                ad = matvec(d)
-                dad = psum_dot(d, ad)
-                ok = jnp.logical_and(act, dad > 0)
-                alpha = jnp.where(
-                    ok, rs_i / jnp.where(dad > 0, dad, 1.0), 0.0)
-                x = x + alpha * d
-                res = res - alpha * ad
-                rs_new = psum_dot(res, res)
-                beta = jnp.where(
-                    ok, rs_new / jnp.where(rs_i != 0, rs_i, 1.0), 0.0)
-                d = res + beta * d
-                better = rs_new < rs_best
-                x_best = jnp.where(better, x, x_best)
-                rs_best = jnp.minimum(rs_new, rs_best)
-                return (x, res, d, rs_new, x_best, rs_best,
-                        any_active(rs_new, rs_best), i + 1)
-
-            s = (x, res, d, rs, x, rs, any_active(rs, rs), jnp.int32(0))
-            return lax.while_loop(cond, body, s)[4]
-
-        def make_solve(guess):
-            def solve(mv, rhs):
-                return cg_solve(project(rhs),
-                                None if guess is None else project(guess))
-
-            return solve
+        ops = _make_pressure_ops(
+            fluid, acc_y_lo, acc_above, acc_x, idx, r=r, w=w, dx=dx,
+            tol=tol, maxiter=maxiter, mode=mode, qh=qh, qw=qw,
+            inv_lam=inv_lam)
 
         rhs = jnp.where(fluid > 0, -div, 0.0)
         guess = None if x0 is None else lax.stop_gradient(x0)
+        if mode == "spectral":
+            guess = None  # exact solve — a starting guess is meaningless
         p = lax.custom_linear_solve(
-            matvec, rhs, solve=make_solve(guess), symmetric=True,
-            transpose_solve=make_solve(None) if guess is not None else None)
+            ops.matvec, rhs, solve=ops.make_solve(guess), symmetric=True,
+            transpose_solve=(ops.make_solve(None)
+                             if guess is not None else None))
 
-        gy_lo, _, gx = grad_p(p)
+        gy_lo, _, gx = ops.grad_p(p)
         return vy_m - gy_lo, vx_m - gx, density_new, p
 
     # ---- assemble specs and run --------------------------------------
@@ -385,7 +509,8 @@ def spatial_fluid_step(
 
     args = (vy_lo, vy_top, state.velocity.vx, state.density, inflow, x0,
             fy_lo, fy_top, fx, buoy, domain.fluid_mask,
-            domain.acc_y[:-1, :], domain.acc_y[-1:, :], domain.acc_x)
+            domain.acc_y[:-1, :], domain.acc_y[-1:, :], domain.acc_x,
+            qh, qw, inv_lam)
     specs = (bspec, tspec, bspec, bspec,
              bspec if inflow is not None else None,
              bspec if x0 is not None else None,
@@ -393,7 +518,10 @@ def spatial_fluid_step(
              tspec if has_force else None,
              bspec if has_force else None,
              tspec if buoy is not None else None,
-             mspec, mspec, rspec, mspec)
+             mspec, mspec, rspec, mspec,
+             rspec if qh is not None else None,
+             rspec if qw is not None else None,
+             rspec if inv_lam is not None else None)
     in_specs = tuple(s for s, a in zip(specs, args) if a is not None)
     live = tuple(a for a in args if a is not None)
     mask = tuple(a is not None for a in args)
@@ -413,3 +541,61 @@ def spatial_fluid_step(
         velocity=Staggered2D(vy=vy2, vx=vx2), density=density2,
         inflow=state.inflow,
         pressure=p2 if state.pressure is not None else None)
+
+
+def spatial_pressure_solve_diag(
+    div: jnp.ndarray,
+    domain: Domain2D,
+    mesh: Mesh,
+    mode: str = "pcg",
+    tol: float = 1e-5,
+    maxiter: int = 500,
+):
+    """Diagnostic distributed pressure solve: returns (p, iterations).
+
+    Same math as the in-step solver (the _PressureOps used by
+    spatial_fluid_step), but run OUTSIDE custom_linear_solve so the CG
+    trip count escapes — the scaling-study probe for "iteration counts
+    stop scaling with N under the distributed spectral preconditioner".
+    mode: 'jax' (plain distributed CG) | 'pcg' | 'spectral' (exact,
+    obstacle-free; iterations = 0). div: (B, H, W).
+    """
+    if mode == "spectral" and domain.has_obstacles:
+        raise ValueError("'spectral' is exact only without obstacles")
+    r = mesh.shape[SPACE_AXIS]
+    h, w = domain.grid_shape
+    if h % r or (mode != "jax" and w % r):
+        raise ValueError(f"grid {h}x{w} not divisible by space={r}")
+    dx = domain.dx
+    if mode != "jax":
+        qh = jnp.asarray(_dct_matrix(h))
+        qw = jnp.asarray(_dct_matrix(w))
+        inv_lam = jnp.asarray(_inv_neumann_eigenvalues(h, w, dx))
+    else:
+        qh = qw = inv_lam = None
+
+    def local(div, fluid, acc_y_lo, acc_y_top, acc_x, *spectral):
+        idx = lax.axis_index(SPACE_AXIS)
+        nxt = _pperm_from_next(acc_y_lo[None], 1, r)
+        acc_above = jnp.where(idx == r - 1, acc_y_top[None], nxt)[0]
+        qh_, qw_, lam_ = spectral if spectral else (None, None, None)
+        ops = _PressureOps(fluid, acc_y_lo, acc_above, acc_x, idx, r=r,
+                           w=w, dx=dx, tol=tol, maxiter=maxiter, mode=mode,
+                           qh=qh_, qw=qw_, inv_lam=lam_)
+        rhs = ops.project(jnp.where(fluid > 0, -div, 0.0))
+        if mode == "spectral":
+            return ops.project(ops.dist_spectral(rhs)), jnp.int32(0)
+        return ops.cg_solve(rhs, None)
+
+    bspec = P(DATA_AXIS, SPACE_AXIS, None)
+    mspec = P(SPACE_AXIS, None)
+    rspec = P()
+    args = [div, domain.fluid_mask, domain.acc_y[:-1, :],
+            domain.acc_y[-1:, :], domain.acc_x]
+    specs = [bspec, mspec, mspec, rspec, mspec]
+    if mode != "jax":
+        args += [qh, qw, inv_lam]
+        specs += [rspec, rspec, rspec]
+    p, iters = shard_map(local, mesh=mesh, in_specs=tuple(specs),
+                         out_specs=(bspec, rspec), check_vma=False)(*args)
+    return p, iters

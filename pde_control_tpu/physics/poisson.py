@@ -42,7 +42,7 @@ def _spatial_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def cg(matvec, b: jnp.ndarray, tol: float, maxiter: int, x0=None,
-       precond=None) -> jnp.ndarray:
+       precond=None, return_iters: bool = False):
     """Batched (preconditioned) conjugate gradients on an SPD matvec.
 
     `precond`, when given, applies M⁻¹ (must be SPD) — e.g. the spectral
@@ -93,8 +93,54 @@ def cg(matvec, b: jnp.ndarray, tol: float, maxiter: int, x0=None,
         return x, r, d, rz_new, rs_new, x_best, rs_best, k + 1
 
     state = (x, r, d, rz, rs, x, rs, jnp.int32(0))
-    _, _, _, _, _, x_best, _, _ = lax.while_loop(cond, body, state)
+    _, _, _, _, _, x_best, _, k = lax.while_loop(cond, body, state)
+    if return_iters:
+        return x_best, k
     return x_best
+
+
+def measure_pressure_iterations(
+    div: jnp.ndarray,
+    domain: Domain2D,
+    tol: float = 1e-5,
+    maxiter: int = 500,
+    x0: jnp.ndarray | None = None,
+    precondition: bool = True,
+):
+    """Diagnostic: solve the closed-domain pressure system OUTSIDE
+    custom_linear_solve and return (p, iterations) — the trip count cannot
+    escape the implicit-diff path, so MFU accounting (bench.py) and scaling
+    studies measure it here. Uses the pure-JAX deflated-spectral PCG — the
+    same preconditioner family and safeguards as the production Pallas
+    kernel, so iteration counts transfer (both converge the same SPD
+    system to the same tolerance). x0 reproduces the production warm
+    start; x0=None measures the cold (backward-cotangent) solve.
+    """
+    if not domain.closed:
+        raise ValueError("diagnostic implemented for closed domains "
+                         "(every benchmark fluid task)")
+    fluid = domain.fluid_mask
+    n_fluid = jnp.maximum(jnp.sum(fluid), 1.0)
+
+    def project(p):
+        mean = (jnp.sum(p * fluid, axis=tuple(range(1, p.ndim)),
+                        keepdims=True) / n_fluid)
+        return jnp.where(fluid > 0, p - mean, p)
+
+    def matvec(p):
+        return project(masked_laplace_spd(project(p), domain))
+
+    precond = None
+    if precondition:
+        from pde_control_tpu.ops.spectral import spectral_neumann_solve
+
+        def precond(r):
+            return project(spectral_neumann_solve(project(r), dx=domain.dx))
+
+    b = project(jnp.where(fluid > 0, -div, 0.0))
+    x0 = None if x0 is None else project(x0)
+    return cg(matvec, b, tol=tol, maxiter=maxiter, x0=x0, precond=precond,
+              return_iters=True)
 
 
 def _pick_backend(backend: str, div: jnp.ndarray, domain: Domain2D) -> str:

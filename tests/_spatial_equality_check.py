@@ -31,16 +31,19 @@ def _blob(rng, b, h, w):
                   / (0.03 * h * w)).astype(np.float32)
 
 
-def _setup(B=4, H=32, W=32):
+def _setup(B=4, H=32, W=32, backend="jax", obstacles=True):
     rng = np.random.default_rng(0)
-    obstacle = np.zeros((H, W), np.float32)
-    obstacle[12:14, 8:24] = 1.0  # plate → gated stencils exercised
-    domain = Domain2D.create(H, W, obstacle_mask=jnp.asarray(obstacle))
-    # 'jax' backend on BOTH paths (plain CG) at tight tol, so the dense
-    # and distributed solves converge well below the comparison rtol —
+    obstacle = None
+    if obstacles:
+        obstacle = np.zeros((H, W), np.float32)
+        obstacle[12:14, 8:24] = 1.0  # plate → gated stencils exercised
+        obstacle = jnp.asarray(obstacle)
+    domain = Domain2D.create(H, W, obstacle_mask=obstacle)
+    # Same backend on BOTH paths at tight tol, so the dense and
+    # distributed solves converge well below the comparison rtol —
     # the all-reduced dots round differently, so iterates drift apart.
     cfg = FluidConfig(dt=0.5, buoyancy=0.1, pressure_tol=1e-7,
-                      pressure_maxiter=800, pressure_backend="jax")
+                      pressure_maxiter=800, pressure_backend=backend)
     state0 = FluidState(
         velocity=Staggered2D.zeros(B, H, W),
         density=jnp.asarray(_blob(rng, B, H, W)),
@@ -53,10 +56,11 @@ def _setup(B=4, H=32, W=32):
     return domain, cfg, state0, force, target
 
 
-def main() -> None:
+def main(backend="jax", obstacles=True, tag="SPATIAL_EQUALITY_OK") -> None:
     assert len(jax.devices()) >= 8, jax.devices()
     N = 3
-    domain, cfg, state0, force, target = _setup()
+    domain, cfg, state0, force, target = _setup(backend=backend,
+                                                obstacles=obstacles)
     mesh = make_mesh2d(2, 4)
 
     def make_loss(step):
@@ -87,7 +91,7 @@ def main() -> None:
     for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(g1)),
                     jax.tree_util.tree_leaves(jax.device_get(g2))):
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-5)
-    print("SPATIAL_EQUALITY_OK")
+    print(tag)
 
 
 def main_indirect() -> None:
@@ -128,10 +132,48 @@ def main_indirect() -> None:
     print("SPATIAL_INDIRECT_OK")
 
 
+def main_opt() -> None:
+    """parallel/spatial_opt.py: the distributed adjoint optimization must
+    decrease its loss and keep forces sharded (16², n=2, 6 adam steps)."""
+    assert len(jax.devices()) >= 8, jax.devices()
+    from pde_control_tpu.parallel.spatial_opt import optimize_forces_spatial
+
+    H = 16
+    rng = np.random.default_rng(0)
+    domain = Domain2D.create(H, H)
+    cfg = FluidConfig(dt=0.5, buoyancy=0.0, pressure_tol=1e-5,
+                      pressure_maxiter=200, pressure_backend="spectral")
+    state0 = FluidState(
+        velocity=Staggered2D.zeros(2, H, H),
+        density=jnp.asarray(_blob(rng, 2, H, H)))
+    target = jnp.asarray(_blob(np.random.default_rng(5), 2, H, H))
+    mesh = make_mesh2d(2, 4)
+    forces, hist = optimize_forces_spatial(
+        state0, target, domain, cfg, mesh, n=2, iterations=6,
+        learning_rate=2.0, force_reg=1e-5)
+    obs = np.asarray(hist["obs_loss"])
+    assert np.all(np.isfinite(obs)), obs
+    assert obs[-1] < obs[0] * 0.9, obs
+    assert "space" in str(forces.vy.sharding.spec), forces.vy.sharding
+    assert "space" in str(forces.vx.sharding.spec), forces.vx.sharding
+    print("SPATIAL_OPT_OK")
+
+
 if __name__ == "__main__":
     import sys as _sys
 
     if "--indirect" in _sys.argv:
         main_indirect()
+    elif "--opt" in _sys.argv:
+        main_opt()
+    elif "--pcg" in _sys.argv:
+        # Distributed spectral-PCG vs the dense deflated-spectral PCG
+        # (obstacle domain — the preconditioner is approximate there, CG
+        # iterates to the same tight tol on both paths).
+        main(backend="pcg", tag="SPATIAL_PCG_OK")
+    elif "--spectral" in _sys.argv:
+        # Distributed EXACT spectral solve vs the dense exact DCT solve
+        # (obstacle-free domain; no CG at all on either path).
+        main(backend="spectral", obstacles=False, tag="SPATIAL_SPECTRAL_OK")
     else:
         main()

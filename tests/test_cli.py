@@ -73,3 +73,41 @@ def test_comparison_resume(tmp_path):
     for scheme in ("chain_final", "staggered", "refined", "adjoint"):
         assert second[scheme]["final_state_mse"] == pytest.approx(
             first[scheme]["final_state_mse"]), scheme
+
+
+def test_adjoint_row_microbatched_fill_on_resume(tmp_path):
+    """The round-4 n=64 repair path: a comparison whose adjoint row was
+    skipped (adjoint_iterations=0) gets the row FILLED on a resumed rerun
+    with microbatching — without retraining the supervised stages or the
+    scheme rows, even when their checkpoints are gone (VM reset)."""
+    import shutil
+
+    from pde_control_tpu.control.pde_burgers import BurgersPDE
+    from pde_control_tpu.data.generate import generate_burgers_dataset
+    from pde_control_tpu.experiments.burgers import BURGERS_CFG
+    from pde_control_tpu.experiments.compare_schemes import run_comparison
+
+    wd = str(tmp_path / "cmp")
+    n = 4
+    train = generate_burgers_dataset(BURGERS_CFG, 32, n, seed=0,
+                                     force_amplitude=0.5)
+    val = generate_burgers_dataset(BURGERS_CFG, 16, n, seed=999,
+                                   force_amplitude=0.5)
+    kw = dict(batch_size=8, iterations=20, force_reg=1e-4, adjoint_lr=0.1)
+    first = run_comparison(BurgersPDE(BURGERS_CFG), n, train, val, wd,
+                           adjoint_iterations=0, **kw)
+    assert first["adjoint"]["skipped"]
+    # Simulate the VM reset: checkpoints wiped, comparison.json survives.
+    for name in ("ckpt_cfe", "ckpt_ops", "ckpt_chain_final",
+                 "ckpt_staggered", "ckpt_refined"):
+        shutil.rmtree(f"{wd}/{name}", ignore_errors=True)
+    second = run_comparison(BurgersPDE(BURGERS_CFG), n, train, val, wd,
+                            adjoint_iterations=10, adjoint_microbatch=4,
+                            resume=True, **kw)
+    adj = second["adjoint"]
+    assert not adj.get("skipped")
+    assert adj["microbatch"] == 4 and adj["num_trajectories"] == 16
+    assert adj["final_state_mse"] > 0 and adj["final_state_mse"] < 1e3
+    for scheme in ("chain_final", "staggered", "refined"):
+        assert second[scheme]["final_state_mse"] == pytest.approx(
+            first[scheme]["final_state_mse"]), scheme

@@ -35,6 +35,32 @@ def test_spatial_sharded_rollout_matches_single_device():
     assert "SPATIAL_EQUALITY_OK" in out.stdout, out.stdout + "\n" + out.stderr
 
 
+def test_spatial_pcg_matches_dense_pcg():
+    """Distributed spectral-preconditioned CG (round 4): same rollout /
+    grads as the dense deflated-spectral PCG on an obstacle domain."""
+    out = _run(["--pcg"])
+    assert out.returncode == 0, out.stdout + "\n" + out.stderr
+    assert "SPATIAL_PCG_OK" in out.stdout, out.stdout + "\n" + out.stderr
+
+
+def test_spatial_exact_spectral_matches_dense():
+    """Distributed exact DCT solve (round 4): no CG at all; must match the
+    dense spectral path on an obstacle-free closed domain."""
+    out = _run(["--spectral"])
+    assert out.returncode == 0, out.stdout + "\n" + out.stderr
+    assert "SPATIAL_SPECTRAL_OK" in out.stdout, (
+        out.stdout + "\n" + out.stderr)
+
+
+def test_spatial_adjoint_optimization_decreases():
+    """parallel/spatial_opt.py (round 4): the distributed adjoint loop —
+    scan of remat'd sharded steps under value_and_grad + adam — improves
+    the objective and keeps the optimization variables sharded."""
+    out = _run(["--opt"])
+    assert out.returncode == 0, out.stdout + "\n" + out.stderr
+    assert "SPATIAL_OPT_OK" in out.stdout, out.stdout + "\n" + out.stderr
+
+
 def test_spatial_sharded_indirect_inflow_warmstart():
     """Indirect control (per-batch buoyancy factor) + inflow + warm-started
     pressure: the gradient wrt the control channel must match."""
@@ -78,8 +104,17 @@ def test_spatial_step_scope_validation():
     with pytest.raises(ValueError, match="shift"):
         spatial_fluid_step(state, domain,
                            FluidConfig(advection_mode="gather"), mesh)
-    with pytest.raises(ValueError, match="CG"):
+    with pytest.raises(ValueError, match="single-device"):
         spatial_fluid_step(state, domain,
+                           FluidConfig(pressure_backend="pallas"), mesh)
+    import jax.numpy as jnp
+    import numpy as np
+
+    obs = np.zeros((16, 16), np.float32)
+    obs[8, 4:12] = 1.0
+    obs_domain = Domain2D.create(16, 16, obstacle_mask=jnp.asarray(obs))
+    with pytest.raises(ValueError, match="obstacles"):
+        spatial_fluid_step(state, obs_domain,
                            FluidConfig(pressure_backend="spectral"), mesh)
     mesh3 = types.SimpleNamespace(shape={"data": 1, "space": 3})
     with pytest.raises(ValueError, match="divisible"):
