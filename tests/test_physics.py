@@ -89,6 +89,38 @@ def test_cg_matches_dense(rng):
     assert np.abs(res).max() < 1e-3
 
 
+def test_measure_pressure_iterations(rng):
+    """The round-4 MFU diagnostic: measure_pressure_iterations must (a)
+    produce the same solution as the production solve_pressure path, (b)
+    report fewer iterations warm-started from a near-solution than cold
+    (the bench.py warm/cold split relies on this ordering)."""
+    from pde_control_tpu.physics.poisson import (
+        measure_pressure_iterations,
+        solve_pressure,
+    )
+
+    domain = _rand_domain(rng, 16, 16)
+    fluid = np.asarray(domain.fluid_mask)
+    div = jnp.asarray(
+        rng.normal(size=(2, 16, 16)).astype(np.float32) * fluid)
+    p_ref = solve_pressure(div, domain, tol=1e-6, maxiter=800,
+                           backend="pcg")
+    p_cold, k_cold = measure_pressure_iterations(div, domain, tol=1e-6,
+                                                 maxiter=800)
+    # Same solution up to the shared nullspace convention (both deflated).
+    np.testing.assert_allclose(np.asarray(p_cold), np.asarray(p_ref),
+                               rtol=1e-3, atol=1e-4)
+    p_warm, k_warm = measure_pressure_iterations(div, domain, tol=1e-6,
+                                                 maxiter=800, x0=p_ref)
+    assert int(k_warm) < int(k_cold), (int(k_warm), int(k_cold))
+    assert int(k_warm) <= 2  # starting at the solution: ~immediate exit
+    # Unpreconditioned counts must exceed preconditioned ones.
+    _, k_plain = measure_pressure_iterations(div, domain, tol=1e-6,
+                                             maxiter=800,
+                                             precondition=False)
+    assert int(k_plain) > int(k_cold), (int(k_plain), int(k_cold))
+
+
 def test_projection_divergence_free(rng):
     domain = _rand_domain(rng)
     h, w = domain.grid_shape
