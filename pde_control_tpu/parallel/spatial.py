@@ -31,8 +31,12 @@ products combined with `lax.psum_scatter` (the classic distributed-
 transpose pattern: two reduce-scatters of the field per apply, FLOPs
 perfectly sharded). Obstacle-free domains use it as the EXACT solve (no
 iteration at all); obstacle domains use it as the deflated preconditioner
-inside the distributed CG, making iteration counts grid-size-independent
-(the round-3 plain-CG path scaled O(N)). Generic GSPMD helpers
+inside the distributed CG — measured 14-17x fewer iterations than
+plain CG at 128²-512² (475→34, 1768→107; scripts/spatial_scaling.py).
+Counts still grow ~O(N) on the benchmark obstacle domains (the plates
+scale WITH the domain, so the un-preconditioned perturbation is not
+local; a coarse-space correction is the identified next rung). Generic
+GSPMD helpers
 (`spatial_spec`/`spatial_shard`) remain for divisible-axis pytrees
 (centered fields, batches, 3D volumes).
 """
@@ -555,8 +559,8 @@ def spatial_pressure_solve_diag(
 
     Same math as the in-step solver (the _PressureOps used by
     spatial_fluid_step), but run OUTSIDE custom_linear_solve so the CG
-    trip count escapes — the scaling-study probe for "iteration counts
-    stop scaling with N under the distributed spectral preconditioner".
+    trip count escapes — the scaling-study probe for how iteration
+    counts scale with N under the distributed spectral preconditioner.
     mode: 'jax' (plain distributed CG) | 'pcg' | 'spectral' (exact,
     obstacle-free; iterations = 0). div: (B, H, W).
     """
