@@ -166,6 +166,7 @@ def _measured_cg_iters(app, batch_size: int, n_probe: int = 6) -> dict:
     import jax
     import jax.numpy as jnp
 
+    from __graft_entry__ import _make_batch
     from pde_control_tpu.physics.fluid import fluid_step
     from pde_control_tpu.physics.poisson import measure_pressure_iterations
 
@@ -202,6 +203,8 @@ def _analytic_mfu(app, iter_sec: float, batch_size: int = BATCH) -> dict:
     mfu_low / mfu_high bounds."""
     import jax
     import jax.numpy as jnp
+
+    from __graft_entry__ import _make_batch
 
     pde = app.pde
     cfe = pde.build_cfe()
