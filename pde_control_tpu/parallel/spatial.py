@@ -33,10 +33,13 @@ perfectly sharded). Obstacle-free domains use it as the EXACT solve (no
 iteration at all); obstacle domains use it as the deflated preconditioner
 inside the distributed CG — measured 14-17x fewer iterations than
 plain CG at 128²-512² (475→34, 1768→107; scripts/spatial_scaling.py).
-Counts still grow ~O(N) on the benchmark obstacle domains (the plates
-scale WITH the domain, so the un-preconditioned perturbation is not
-local; a coarse-space correction is the identified next rung). Generic
-GSPMD helpers
+One-level counts still grow ~O(N) on the benchmark obstacle domains (the
+plates scale WITH the domain, so the un-preconditioned perturbation is
+not local); the 'pcg2' mode adds the two-level fix — a Galerkin
+coarse-space correction over fluid-masked block indicators (A-DEF2
+around the spectral apply; `_PressureOps._coarse_setup`), measured 39→27
+iterations at 128² (tests/_spatial_equality_check.py --iters2) with the
+gap growing with N (scripts/spatial_scaling.py). Generic GSPMD helpers
 (`spatial_spec`/`spatial_shard`) remain for divisible-axis pytrees
 (centered fields, batches, 3D volumes).
 """
@@ -135,12 +138,14 @@ class _PressureOps:
     """
 
     def __init__(self, fluid, acc_y_lo, acc_above, acc_x, idx, *, r, w, dx,
-                 tol, maxiter, mode, qh, qw, inv_lam):
+                 tol, maxiter, mode, qh, qw, inv_lam, nbh=None, nbw=None):
         self.fluid, self.idx, self.r, self.w, self.dx = fluid, idx, r, w, dx
         self.acc_y_lo, self.acc_above, self.acc_x = acc_y_lo, acc_above, acc_x
         self.tol, self.maxiter, self.mode = tol, maxiter, mode
         self.qh, self.qw, self.inv_lam = qh, qw, inv_lam
         self.n_fluid = jnp.maximum(lax.psum(jnp.sum(fluid), SPACE_AXIS), 1.0)
+        self.coarse_q = (self._coarse_setup(nbh, nbw) if mode == "pcg2"
+                         else None)
 
     def psum_dot(self, a, b):
         return lax.psum(
@@ -214,11 +219,90 @@ class _PressureOps:
         # (same construction as poisson.solve_pressure's 'pcg').
         return self.project(self.dist_spectral(self.project(res)))
 
+    # -- two-level ('pcg2'): coarse-space correction over block indicators --
+
+    def _coarse_setup(self, nbh: int, nbw: int):
+        """Build the Galerkin coarse operator E = Zᵀ A Z over FLUID-MASKED
+        block-indicator vectors and return the coarse-solve apply
+        Q(res) = Z E⁺ Zᵀ res.
+
+        The round-4 scaling study measured the one-level spectral
+        preconditioner's obstacle-domain iteration counts still growing
+        ~O(N) (34→57→107 at 128²→512²): the benchmark plates scale WITH
+        the domain, so the error the unmasked spectral operator misses is
+        long-range — exactly what a coarse space fixes (standard two-level
+        DDM). Z = indicators of an (nbh × nbw) block partition intersected
+        with the fluid mask; blocks align with rank slabs (nbh % r == 0),
+        so restriction/prolongation are LOCAL block-sum pooling plus one
+        tiny all_gather of the (B, nbh, nbw) coarse vector. E is assembled
+        EXACTLY with one batched gated matvec over the Nc basis slabs
+        (rhs-independent → hoisted out of the CG loop by XLA), then
+        pseudo-inverted (the constant vector — and any all-solid block —
+        is in E's nullspace; pinv handles both, consistent with the
+        global-mean deflation already applied around it)."""
+        hk = self.acc_x.shape[0]
+        nbh_loc = nbh // self.r
+        ch, cw = hk // nbh_loc, self.w // nbw
+        nc = nbh * nbw
+        fluid = self.fluid
+
+        def restrict(x):
+            # (B, Hk, W) → (B, nbh, nbw): fluid-masked block sums, gathered.
+            xb = (x * fluid).reshape(
+                x.shape[0], nbh_loc, ch, nbw, cw).sum(axis=(2, 4))
+            return lax.all_gather(xb, SPACE_AXIS, axis=1, tiled=True)
+
+        def prolong(c):
+            # (B, nbh, nbw) → (B, Hk, W): my block rows, broadcast, masked.
+            mine = lax.dynamic_slice_in_dim(
+                c, self.idx * nbh_loc, nbh_loc, axis=1)
+            full = jnp.broadcast_to(
+                mine[:, :, None, :, None],
+                (c.shape[0], nbh_loc, ch, nbw, cw),
+            ).reshape(c.shape[0], nbh_loc * ch, nbw * cw)
+            return full * fluid
+
+        # E via one batched matvec: basis slabs as the batch axis. The
+        # gated matvec returns p itself on solid cells, but Z is zero
+        # there, so restrict(matvec_raw(Z)) is the pure fluid-restricted
+        # Galerkin stiffness.
+        z = prolong(jnp.eye(nc, dtype=jnp.float32).reshape(nc, nbh, nbw))
+        e = restrict(self.matvec_raw(z)).reshape(nc, nc)
+        e = 0.5 * (e + e.T)
+        e_pinv = jnp.linalg.pinv(e, rtol=1e-6)
+
+        def q_apply(res):
+            c = restrict(res).reshape(res.shape[0], nc)
+            c = jnp.einsum("ij,bj->bi", e_pinv, c, precision=_PRECISION)
+            return prolong(c.reshape(res.shape[0], nbh, nbw))
+
+        return q_apply
+
+    def precond2(self, res):
+        """A-DEF2 two-level apply: M₂⁻¹ = Pᵀ M⁻¹ + Q with P = I − A Q
+        (Tang/Nabben/Vuik/Erlangga 2009 — CG-robust with the deflated
+        starting vector cg_solve installs), wrapped in the global-mean
+        deflation projection like the one-level path."""
+        res = self.project(res)
+        y = self.project(self.dist_spectral(res))
+        return self.project(y - self.coarse_q(self.matvec(y))
+                            + self.coarse_q(res))
+
     def cg_solve(self, rhs, guess):
         """Distributed (preconditioned) CG; returns (x_best, iterations)."""
         matvec, psum_dot = self.matvec, self.psum_dot
-        apply_m = self.precond if self.mode == "pcg" else (lambda res: res)
+        apply_m = {"pcg": self.precond, "pcg2": self.precond2}.get(
+            self.mode, lambda res: res)
         x = jnp.zeros_like(rhs) if guess is None else guess
+        if self.mode == "pcg2":
+            # Deflated start x₀ ← Q b + Pᵀ x₀: makes the (nonsymmetric)
+            # A-DEF2 operator CG-robust — residuals stay in the deflated
+            # subspace where M₂ is SPD-equivalent. The outer projection
+            # strips Q's fluid-mean component (constants are in the gated
+            # operator's nullspace, so the residual is unchanged and the
+            # returned pressure stays mean-free like the other modes').
+            x = self.project(
+                self.coarse_q(rhs) + x - self.coarse_q(matvec(x)))
         res = rhs - matvec(x)
         z = apply_m(res)
         d = z
@@ -289,6 +373,18 @@ class _PressureOps:
 
 def _make_pressure_ops(*args, **kwargs) -> _PressureOps:
     return _PressureOps(*args, **kwargs)
+
+
+def _coarse_block_counts(h: int, w: int, r: int) -> tuple[int, int]:
+    """Default 'pcg2' coarse partition: ~16 blocks per axis, with the
+    H-axis count a multiple of r (blocks must align with rank slabs so
+    restriction stays local) and both counts dividing the grid."""
+    k = max(1, 16 // r)
+    while k > 1 and h % (r * k):
+        k //= 2
+    nbh = r * k
+    nbw = next((nb for nb in (16, 8, 4, 2, 1) if w % nb == 0), 1)
+    return nbh, nbw
 
 
 # ---------------------------------------------------------------------------
@@ -362,7 +458,10 @@ def spatial_fluid_step(
     viscosity 0, shift advection. Pressure backends (mirrors
     poisson._pick_backend on closed domains): 'auto' → exact distributed
     spectral solve without obstacles / distributed spectral-PCG with
-    them; explicit 'spectral' / 'pcg' / 'jax' (plain distributed CG).
+    them; explicit 'spectral' / 'pcg' / 'pcg2' (two-level: + coarse-space
+    correction — fewer trips on large obstacle domains, more work per
+    trip; opt-in until the scaling study picks a routing) / 'jax' (plain
+    distributed CG).
 
     Call under jit (cfg and mesh are static: hashable frozen dataclass /
     Mesh). Inputs may live anywhere — jit reshards them to the
@@ -388,8 +487,8 @@ def spatial_fluid_step(
                          "single-device; use 'auto'/'spectral'/'pcg'/'jax'")
     if mode == "spectral" and domain.has_obstacles:
         raise ValueError("'spectral' is exact only for domains without "
-                         "obstacles; use 'pcg' (preconditioned CG)")
-    if mode not in ("spectral", "pcg", "jax"):
+                         "obstacles; use 'pcg'/'pcg2' (preconditioned CG)")
+    if mode not in ("spectral", "pcg", "pcg2", "jax"):
         raise ValueError(f"unknown pressure backend {cfg.pressure_backend!r}")
     r = mesh.shape[SPACE_AXIS]
     h, w = domain.grid_shape
@@ -411,6 +510,8 @@ def spatial_fluid_step(
         inv_lam = jnp.asarray(_inv_neumann_eigenvalues(h, w, dx))
     else:
         qh = qw = inv_lam = None
+    nbh, nbw = _coarse_block_counts(h, w, r) if mode == "pcg2" else (None,
+                                                                     None)
 
     def local_step(vy_lo, vy_top, vx, density, inflow, x0,
                    fy_lo, fy_top, fx, buoy, fluid, acc_y_lo, acc_y_top,
@@ -480,7 +581,7 @@ def spatial_fluid_step(
         ops = _make_pressure_ops(
             fluid, acc_y_lo, acc_above, acc_x, idx, r=r, w=w, dx=dx,
             tol=tol, maxiter=maxiter, mode=mode, qh=qh, qw=qw,
-            inv_lam=inv_lam)
+            inv_lam=inv_lam, nbh=nbh, nbw=nbw)
 
         rhs = jnp.where(fluid > 0, -div, 0.0)
         guess = None if x0 is None else lax.stop_gradient(x0)
@@ -561,7 +662,8 @@ def spatial_pressure_solve_diag(
     spatial_fluid_step), but run OUTSIDE custom_linear_solve so the CG
     trip count escapes — the scaling-study probe for how iteration
     counts scale with N under the distributed spectral preconditioner.
-    mode: 'jax' (plain distributed CG) | 'pcg' | 'spectral' (exact,
+    mode: 'jax' (plain distributed CG) | 'pcg' | 'pcg2' (two-level:
+    spectral + coarse-space correction) | 'spectral' (exact,
     obstacle-free; iterations = 0). div: (B, H, W).
     """
     if mode == "spectral" and domain.has_obstacles:
@@ -577,6 +679,8 @@ def spatial_pressure_solve_diag(
         inv_lam = jnp.asarray(_inv_neumann_eigenvalues(h, w, dx))
     else:
         qh = qw = inv_lam = None
+    nbh, nbw = _coarse_block_counts(h, w, r) if mode == "pcg2" else (None,
+                                                                     None)
 
     def local(div, fluid, acc_y_lo, acc_y_top, acc_x, *spectral):
         idx = lax.axis_index(SPACE_AXIS)
@@ -585,7 +689,7 @@ def spatial_pressure_solve_diag(
         qh_, qw_, lam_ = spectral if spectral else (None, None, None)
         ops = _PressureOps(fluid, acc_y_lo, acc_above, acc_x, idx, r=r,
                            w=w, dx=dx, tol=tol, maxiter=maxiter, mode=mode,
-                           qh=qh_, qw=qw_, inv_lam=lam_)
+                           qh=qh_, qw=qw_, inv_lam=lam_, nbh=nbh, nbw=nbw)
         rhs = ops.project(jnp.where(fluid > 0, -div, 0.0))
         if mode == "spectral":
             return ops.project(ops.dist_spectral(rhs)), jnp.int32(0)

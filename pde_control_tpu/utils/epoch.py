@@ -5,25 +5,36 @@ Rollouts are chaotic, so "deterministically" regenerated datasets differ
 across VM replacements (different chip/compiler rounding amplified over
 the trajectory): absolute MSEs measured on different VMs are NOT
 comparable — only controlled/zero-force ratios are. The epoch key
-identifies the VM instance that generated a run's data; every
+identifies the wipe generation that a run's data belongs to; every
 results.json / comparison.json / .bench_baseline.json is stamped with it,
 and scripts/collect_results.py refuses to tabulate absolute MSEs across
 epochs (ratios remain valid).
+
+Round-4 correction (measured 2026-08-20, after the FOURTH reset):
+/etc/machine-id is baked into the VM image and came back IDENTICAL across
+a full machine replacement (hash 3457a4264f6f on both sides of the wipe),
+so the original machine-id key under-detects exactly the boundary it was
+built for. The boundary that actually matters is the wipe of the
+gitignored state (`runs/`, `data/`, caches) — so the epoch now IS a
+gitignored file: a random token minted on first use and destroyed by the
+same wipe that invalidates the datasets. Reboots that preserve the
+filesystem keep the epoch; anything that wipes the datasets rotates it.
+Falls back to the machine-id hash if the repo root is unwritable.
 """
 
 from __future__ import annotations
 
+import errno
 import hashlib
 import os
+import uuid
+
+_EPOCH_FILE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".vm_epoch")
 
 
-def vm_epoch() -> str:
-    """Short stable identifier of this VM instance.
-
-    /etc/machine-id survives reboots of one VM but changes on VM
-    replacement — exactly the boundary across which dataset regeneration
-    stops being bit-comparable. Falls back to the boot id (weaker: also
-    changes on reboot) and finally to 'unknown'."""
+def _machine_id_epoch() -> str:
     for path in ("/etc/machine-id", "/proc/sys/kernel/random/boot_id"):
         try:
             with open(path) as f:
@@ -33,6 +44,37 @@ def vm_epoch() -> str:
         except OSError:
             continue
     return "unknown"
+
+
+def vm_epoch(path: str = _EPOCH_FILE) -> str:
+    """Short identifier of the current dataset/wipe generation.
+
+    Reads the gitignored epoch file, minting it (O_EXCL — safe against
+    the background-queue/freeze processes racing on first use) when the
+    last wipe destroyed it."""
+    try:
+        with open(path) as f:
+            v = f.read().strip()
+        if v:
+            return v
+    except OSError:
+        pass
+    v = uuid.uuid4().hex[:12]
+    try:
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+    except OSError as e:
+        if e.errno == errno.EEXIST:  # lost the race: use the winner's token
+            try:
+                with open(path) as f:
+                    w = f.read().strip()
+                if w:
+                    return w
+            except OSError:
+                pass
+        return _machine_id_epoch()
+    with os.fdopen(fd, "w") as f:
+        f.write(v)
+    return v
 
 
 def stamp(results: dict) -> dict:

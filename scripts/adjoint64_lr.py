@@ -8,7 +8,12 @@ RESULTS footnote.)
 Usage: python scripts/adjoint64_lr.py [lr1,lr2,...]  (default 0.1)
 """
 import json
+import os
 import sys
+
+# Self-sufficient under `python scripts/<name>.py` (the interpreter puts
+# scripts/ on sys.path, not the repo root — the r6b queue hit this).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

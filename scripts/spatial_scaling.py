@@ -23,7 +23,12 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
+
+# Self-sufficient under `python scripts/<name>.py` (the interpreter puts
+# scripts/ on sys.path, not the repo root — the r6b queue hit this).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -59,7 +64,7 @@ def iteration_scaling(mesh, sizes, tol=1e-5, maxiter=4000) -> list[dict]:
         div = jnp.asarray(rng.normal(0, 1, (1, size, size)).astype(
             np.float32)) * domain.fluid_mask[None]
         row = {"size": size}
-        for mode in ("jax", "pcg"):
+        for mode in ("jax", "pcg", "pcg2"):
             t0 = time.time()
             p, iters = jax.jit(
                 spatial_pressure_solve_diag,

@@ -52,6 +52,23 @@ def test_spatial_exact_spectral_matches_dense():
         out.stdout + "\n" + out.stderr)
 
 
+def test_spatial_pcg2_matches_dense():
+    """Two-level distributed PCG (spectral + Galerkin coarse space,
+    round 4): same rollout/grads as the dense one-level PCG at tight tol
+    on an obstacle domain."""
+    out = _run(["--pcg2"])
+    assert out.returncode == 0, out.stdout + "\n" + out.stderr
+    assert "SPATIAL_PCG2_OK" in out.stdout, out.stdout + "\n" + out.stderr
+
+
+def test_spatial_pcg2_cuts_iteration_counts():
+    """The coarse space must reduce CG trips on the scaled-plate layout
+    (the round-4 scaling table's residual O(N) growth)."""
+    out = _run(["--iters2"])
+    assert out.returncode == 0, out.stdout + "\n" + out.stderr
+    assert "SPATIAL_ITERS2_OK" in out.stdout, out.stdout + "\n" + out.stderr
+
+
 def test_spatial_adjoint_optimization_decreases():
     """parallel/spatial_opt.py (round 4): the distributed adjoint loop —
     scan of remat'd sharded steps under value_and_grad + adam — improves

@@ -77,3 +77,21 @@ def test_training_renders_fields_and_tb(tmp_path):
     assert len(pngs) >= 2, os.listdir(logdir)
     events = [f for f in os.listdir(logdir) if "tfevents" in f]
     assert events, os.listdir(logdir)
+
+
+def test_vm_epoch_file_semantics(tmp_path):
+    """Round-4 correction: the epoch is a gitignored token that DIES with
+    the wipe (machine-id survived a real VM replacement — measured — so
+    it cannot be the key). Stable across calls; rotates when destroyed."""
+    from pde_control_tpu.utils import epoch
+
+    p = str(tmp_path / ".vm_epoch")
+    first = epoch.vm_epoch(p)
+    assert first and first == epoch.vm_epoch(p)  # stable while file lives
+    os.remove(p)
+    second = epoch.vm_epoch(p)                   # "wipe" → new generation
+    assert second and second != first
+    stamped = epoch.stamp({})
+    assert "vm_epoch" in stamped
+    assert epoch.check_same_epoch([("old", "deadbeef0000"),
+                                   ("cur", epoch.vm_epoch())]) == ["old"]
