@@ -8,6 +8,7 @@ from pde_control_tpu.control.pde_fluid import IncompressibleFluidPDE  # noqa: F4
 from pde_control_tpu.control.sequences import (  # noqa: F401
     run_chain,
     run_refined,
+    run_refined_scan,
     staggered_targets,
 )
 from pde_control_tpu.control.training import ControlTraining  # noqa: F401

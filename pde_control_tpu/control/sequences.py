@@ -176,3 +176,81 @@ def run_refined(
     if keep_states:
         return final, jnp.stack(obs_list), stack(aux_list), stack(state_list)
     return final, jnp.stack(obs_list), stack(aux_list)
+
+
+def run_refined_scan(
+    step_fn: StepFn,
+    op_fn: OpFn,
+    observe: Callable,
+    state0,
+    target: jnp.ndarray,
+    n: int,
+    remat: bool = True,
+    keep_states: bool = False,
+):
+    """Prediction refinement as a `lax.scan` — same math as `run_refined`,
+    O(log n) compiled program instead of O(n).
+
+    `run_refined` unrolls the recursion: n step bodies + n-1 OP calls in one
+    program. At config 5's horizon (n=128) that program never finished
+    compiling (observed: >2400 s through the XLA frontend on CPU, rc=124).
+    The reference's `RefinedSequence` (src/control/sequences.py [R]) had the
+    same O(n) static-graph structure; this builder is the TPU-native fix.
+
+    Key observation: execution is left-to-right in time regardless of the
+    recursion, and just before executing step i the predictions that get
+    (re)computed are exactly the midpoints of the tree intervals that START
+    at i. So carry a *target stack* — stack[d] = end-target observation of
+    the active span-2^d interval, stack[D]=final target — and per step run a
+    top-down cascade of D=log2(n) `lax.cond` blocks (d = D-1 … 0, span =
+    2^(d+1)):
+
+      * i % span == 0      → left child starts here: stack[d] =
+                             OP_span(o_executed_i, stack[d+1])  (a refinement
+                             — the midpoint is re-predicted from reality);
+      * elif i % (span/2) == 0 → right child starts here: it inherits the
+                             parent's end target, stack[d] = stack[d+1];
+      * else               → interval unchanged, keep stack[d].
+
+    The CFE then steps toward stack[0]. Each cond executes only its taken
+    branch, so total OP work is the recursion's n-1 calls (amortized ~1 per
+    step), while the *compiled* program holds one step body + D cond blocks.
+    Pinned equal to `run_refined` (values and gradients) in
+    tests/test_control.py.
+    """
+    if n & (n - 1):
+        raise ValueError(f"n must be a power of two, got {n}")
+    depth = n.bit_length() - 1  # log2(n)
+
+    def refresh(i, o_cur, stack):
+        new = list(stack)
+        for d in range(depth - 1, -1, -1):
+            span = 1 << (d + 1)
+            parent_tgt = new[d + 1]
+            copy_or_keep = jnp.where((i % (span // 2)) == 0, parent_tgt,
+                                     new[d])
+            new[d] = lax.cond(
+                (i % span) == 0,
+                lambda oc, pt, alt, s=span: op_fn(s, oc, pt),
+                lambda oc, pt, alt: alt,
+                o_cur, parent_tgt, copy_or_keep)
+        return tuple(new)
+
+    def body(carry, i):
+        state, stack = carry
+        stack = refresh(i, observe(state), stack)
+        nxt, aux = step_fn(state, stack[0])
+        out = (observe(nxt), aux, nxt) if keep_states else (observe(nxt), aux)
+        return (nxt, stack), out
+
+    if remat is True:
+        body = jax.checkpoint(body, policy=REMAT_POLICY)
+    # Levels < depth are placeholders: step 0 triggers every level's OP
+    # branch (0 % span == 0), overwriting them before any read.
+    init_stack = (target,) * (depth + 1)
+    (final, _), ys = lax.scan(body, (state0, init_stack), jnp.arange(n))
+    if keep_states:
+        obs_traj, aux_traj, states = ys
+        return final, obs_traj, aux_traj, states
+    obs_traj, aux_traj = ys
+    return final, obs_traj, aux_traj

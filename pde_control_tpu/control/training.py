@@ -33,6 +33,7 @@ from pde_control_tpu.control.pde_base import PDE
 from pde_control_tpu.control.sequences import (
     run_chain,
     run_refined,
+    run_refined_scan,
     staggered_targets,
 )
 from pde_control_tpu.parallel.mesh import replicate, shard_batch
@@ -82,6 +83,13 @@ class ControlTraining:
         # divergence — fail fast instead of stalling). None disables both.
         skip_nonfinite: bool = True,
         divergence_abort: int = 200,
+        # Refined-sequence builder: 'unrolled' (run_refined — O(n) program,
+        # never finished compiling at n=128, rc=124), 'scan'
+        # (run_refined_scan — O(log n) program, same math, pinned equal),
+        # or 'auto' (scan from n>=32, where unrolled compile cost starts to
+        # dominate; unrolled below — marginally faster steps, historical
+        # checkpoints trained with it).
+        refined_impl: str = "auto",
     ):
         if sequence_class not in SEQUENCE_CLASSES:
             raise ValueError(f"unknown sequence_class {sequence_class!r}")
@@ -126,6 +134,10 @@ class ControlTraining:
         self.seed = seed
         self.remat = remat
         self.scan_unroll = scan_unroll
+        if refined_impl not in ("auto", "scan", "unrolled"):
+            raise ValueError(f"unknown refined_impl {refined_impl!r}")
+        self.refined_impl = ("scan" if n >= 32 else "unrolled") \
+            if refined_impl == "auto" else refined_impl
         self.mesh = mesh
         self.logger = MetricsLogger(logdir)
         self._prepared = False
@@ -285,7 +297,9 @@ class ControlTraining:
             ts = staggered_targets(self._op_fn(params), gt[0], gt[-1], self.n)
             targets = jnp.stack(ts[1:])
         elif self.sequence_class == "refined":
-            out = run_refined(
+            runner = (run_refined_scan if self.refined_impl == "scan"
+                      else run_refined)
+            out = runner(
                 step_fn, self._op_fn(params), observe, state0, gt[-1],
                 self.n, self.remat, keep_states=keep_states)
             if keep_states:

@@ -49,32 +49,46 @@ def _machine_id_epoch() -> str:
 def vm_epoch(path: str = _EPOCH_FILE) -> str:
     """Short identifier of the current dataset/wipe generation.
 
-    Reads the gitignored epoch file, minting it (O_EXCL — safe against
-    the background-queue/freeze processes racing on first use) when the
-    last wipe destroyed it."""
+    Reads the gitignored epoch file, minting it atomically when the last
+    wipe destroyed it: the token is fully written to a temp file, then
+    os.link()ed into place — link is atomic AND refuses to clobber an
+    existing path (EEXIST), so a concurrent reader either sees no file or
+    a COMPLETE token, never the empty window between O_CREAT and the
+    content write that could make two same-generation processes stamp
+    different epochs (ADVICE r4). Losers of the link race re-read the
+    winner's token."""
+    def _read() -> str | None:
+        try:
+            with open(path) as f:
+                v = f.read().strip()
+            return v or None
+        except OSError:
+            return None
+
+    v = _read()
+    if v:
+        return v
+    token = uuid.uuid4().hex[:12]
+    tmp = f"{path}.tmp.{os.getpid()}"
     try:
-        with open(path) as f:
-            v = f.read().strip()
-        if v:
-            return v
+        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        with os.fdopen(fd, "w") as f:
+            f.write(token)
+        try:
+            os.link(tmp, path)  # atomic publish; EEXIST = lost the race
+        except OSError as e:
+            if e.errno != errno.EEXIST:
+                raise
+        finally:
+            os.unlink(tmp)
+        return _read() or _machine_id_epoch()
     except OSError:
-        pass
-    v = uuid.uuid4().hex[:12]
-    try:
-        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
-    except OSError as e:
-        if e.errno == errno.EEXIST:  # lost the race: use the winner's token
-            try:
-                with open(path) as f:
-                    w = f.read().strip()
-                if w:
-                    return w
-            except OSError:
-                pass
-        return _machine_id_epoch()
-    with os.fdopen(fd, "w") as f:
-        f.write(v)
-    return v
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        # Repo root unwritable: fall back to the machine-id hash.
+        return _read() or _machine_id_epoch()
 
 
 def stamp(results: dict) -> dict:

@@ -5,7 +5,9 @@ at lower learning rates; report each. (The row in comparison.json stays
 the protocol-matched lr 0.5 one; this prints the lr sensitivity for the
 RESULTS footnote.)
 
-Usage: python scripts/adjoint64_lr.py [lr1,lr2,...]  (default 0.1)
+Usage: python scripts/adjoint64_lr.py [lr1,lr2,...] [iterations]
+(defaults 0.1, 300 — the table protocol; pass a larger budget for the
+iteration-budget point of the collapse curve)
 """
 import json
 import os
@@ -33,6 +35,7 @@ SIZE, N, MB, ITERS, FORCE_REG = 64, 64, 4, 300, 3e-4
 if __name__ == "__main__":
     lrs = ([float(x) for x in sys.argv[1].split(",")]
            if len(sys.argv) > 1 else [0.1])
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else ITERS
     obstacles = default_obstacles(SIZE, SIZE)
     domain = Domain2D.create(SIZE, SIZE, obstacle_mask=jnp.asarray(obstacles))
     cfg = FluidConfig(dt=1.0, buoyancy=0.08, pressure_tol=1e-4,
@@ -51,7 +54,7 @@ if __name__ == "__main__":
             state0 = jax.jit(pde.initial_state)(part)
             target = jnp.asarray(part["obs"][:, N])
             forces, hist = optimize_forces(
-                pde, state0, target, n=N, iterations=ITERS,
+                pde, state0, target, n=N, iterations=iters,
                 learning_rate=lr, force_reg=FORCE_REG)
             mses.append(float(np.asarray(hist["obs_loss"])[-1]))
             forces_abs.append(float(np.mean(np.asarray(
@@ -61,5 +64,5 @@ if __name__ == "__main__":
                           "mse_sem": float(np.std(mses)
                                            / max(len(mses) - 1, 1) ** .5),
                           "mean_abs_force": float(np.mean(forces_abs)),
-                          "iterations": ITERS, "microbatch": MB}),
+                          "iterations": iters, "microbatch": MB}),
               flush=True)

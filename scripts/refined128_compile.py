@@ -16,7 +16,11 @@ Run: JAX_PLATFORMS=cpu PYTHONPATH=/root/repo python
 """
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -30,10 +34,16 @@ if __name__ == "__main__":
     ap.add_argument("--n", type=int, default=128)
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--impl", default="auto",
+                    choices=("auto", "scan", "unrolled"),
+                    help="refined builder: 'unrolled' is the O(n) recursion "
+                    "(observed rc=124 at n=128), 'scan' the O(log n) rewrite")
     args = ap.parse_args()
     t0 = time.time()
     app = _make_app(args.size, args.n, args.batch,
                     sequence_class="refined")
+    if args.impl != "auto":
+        app.refined_impl = args.impl
     batch = _make_batch(args.size, args.n, args.batch)
     build_s = time.time() - t0
 
@@ -46,7 +56,8 @@ if __name__ == "__main__":
     compile_s = time.time() - t0
     mem = compiled.memory_analysis()
     print(json.dumps({
-        "scheme": "refined", "n": args.n, "size": args.size,
+        "scheme": "refined", "impl": app.refined_impl,
+        "n": args.n, "size": args.size,
         "batch": args.batch,
         "platform": jax.devices()[0].platform,
         "build_trace_s": round(build_s, 1),

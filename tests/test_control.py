@@ -239,6 +239,95 @@ def test_infer_keep_forces_exposes_force_fields(burgers_data):
         assert mab.shape == (4, 4) and np.isfinite(mab).all()
 
 
+def test_refined_scan_matches_unrolled_toy():
+    # run_refined_scan is the O(log n)-program rewrite of run_refined (the
+    # unrolled recursion never compiled at n=128). Pin them EQUAL — values,
+    # aux, states, and gradients — on nonlinear toy dynamics where any
+    # target-stack bookkeeping error (wrong parent, missed right-child
+    # inherit, wrong cascade order) changes the numbers.
+    from pde_control_tpu.control.sequences import (
+        run_refined,
+        run_refined_scan,
+    )
+
+    def observe(state):
+        return state["x"][..., None]
+
+    def step_fn(state, tgt):
+        force = 0.3 * (tgt[..., 0] - state["x"]) + 0.01 * state["v"]
+        x = state["x"] + 0.5 * jnp.tanh(state["v"]) + force
+        v = state["v"] * 0.9 + 0.1 * force
+        return {"x": x, "v": v}, {"cost": jnp.sum(force ** 2, axis=-1)}
+
+    def op_fn(span, o_a, o_b):
+        # span-dependent and NON-midpoint so left/right children differ
+        return 0.5 * (o_a + o_b) + 0.05 * span * jnp.sin(o_a * o_b)
+
+    rng = np.random.default_rng(0)
+    state0 = {"x": jnp.asarray(rng.normal(size=(3, 4)), jnp.float32),
+              "v": jnp.asarray(rng.normal(size=(3, 4)), jnp.float32)}
+    target = jnp.asarray(rng.normal(size=(3, 4, 1)), jnp.float32)
+
+    for n in (1, 2, 8):
+        for remat in (True, False):
+            ref = run_refined(step_fn, op_fn, observe, state0, target, n,
+                              remat, keep_states=True)
+            got = run_refined_scan(step_fn, op_fn, observe, state0, target,
+                                   n, remat, keep_states=True)
+            for r, g in zip(jax.tree_util.tree_leaves(ref),
+                            jax.tree_util.tree_leaves(got)):
+                np.testing.assert_allclose(np.asarray(r), np.asarray(g),
+                                           rtol=1e-5, atol=1e-6)
+
+    def loss(runner, state0, target):
+        final, obs_traj, aux = runner(step_fn, op_fn, observe, state0,
+                                      target, 8, True)
+        return (jnp.mean((obs_traj[-1] - target) ** 2)
+                + 1e-2 * jnp.mean(aux["cost"]))
+
+    g_ref = jax.grad(lambda s, t: loss(run_refined, s, t),
+                     argnums=(0, 1))(state0, target)
+    g_scan = jax.jit(jax.grad(lambda s, t: loss(run_refined_scan, s, t),
+                              argnums=(0, 1)))(state0, target)
+    for r, g in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_scan)):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(g),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_refined_impl_scan_matches_unrolled_app(burgers_data):
+    # Same pin through the full ControlTraining stack (real CFE/OP nets):
+    # identical loss and identical parameter gradients.
+    pde = BurgersPDE(CFG)
+
+    def make(impl):
+        return ControlTraining(
+            4, pde, dataset=burgers_data, batch_size=4,
+            trainable_networks=("CFE", "OP2", "OP4"),
+            sequence_class="refined", obs_loss_frames=(4,), seed=11,
+            refined_impl=impl,
+        ).prepare()
+
+    a, b = make("unrolled"), make("scan")
+    assert a.refined_impl == "unrolled" and b.refined_impl == "scan"
+    batch = {k: jnp.asarray(v) for k, v in
+             burgers_data.sample(np.random.default_rng(5), 4).items()}
+    (la, _), ga = jax.value_and_grad(a._loss_fn, has_aux=True)(a.params,
+                                                               batch)
+    (lb, _), gb = jax.value_and_grad(b._loss_fn, has_aux=True)(b.params,
+                                                               batch)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    for r, g in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(g),
+                                   rtol=2e-4, atol=1e-6)
+    # 'auto' routes by horizon: unrolled below 32, scan at 32+.
+    assert ControlTraining(4, pde, sequence_class="refined",
+                           ).refined_impl == "unrolled"
+    assert ControlTraining(32, pde, sequence_class="refined",
+                           ).refined_impl == "scan"
+
+
 def test_refined_keep_states(burgers_data):
     # keep_states previously raised NotImplementedError for refined.
     pde = BurgersPDE(CFG)
