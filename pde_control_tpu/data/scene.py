@@ -110,6 +110,21 @@ class TrajectoryDataset:
         )
 
 
+def concat_datasets(*datasets: TrajectoryDataset) -> TrajectoryDataset:
+    """Concatenate trajectory datasets along the sample axis (mixed-family
+    training, e.g. the rings OOD mitigation). All inputs must carry the
+    same extras keys and per-sample shapes."""
+    keys = set(datasets[0].extras)
+    for d in datasets[1:]:
+        if set(d.extras) != keys:
+            raise ValueError(
+                f"extras mismatch: {sorted(keys)} vs {sorted(d.extras)}")
+    return TrajectoryDataset(
+        np.concatenate([d.obs for d in datasets]),
+        **{k: np.concatenate([d.extras[k] for d in datasets])
+           for k in keys})
+
+
 class DeviceDataset:
     """Device-resident trajectory store: arrays are uploaded to HBM once and
     each `sample` is a jitted on-device gather, so the steady-state training

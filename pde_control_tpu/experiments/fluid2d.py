@@ -143,6 +143,55 @@ def run_shape_transition_ft(workdir: str, init_from: str,
                         mesh=mesh, resume=resume)
 
 
+def run_shape_transition_rings_ft(workdir: str, init_from: str,
+                                  ring_fraction: float = 0.25,
+                                  size: int = 64, n: int = 16,
+                                  num_train: int = 256, num_val: int = 32,
+                                  batch_size: int = 8,
+                                  e2e_iterations: int | None = None,
+                                  mesh=None, seed: int = 0,
+                                  resume: bool = False) -> dict:
+    """Rings-OOD mitigation (VERDICT r4 item 4): fine-tune a converged
+    config-3 controller on a MIXED dataset — the original circles/boxes
+    family plus a `ring_fraction` share of annulus (hollow-topology)
+    targets — at the training force_reg (this is a data treatment, not a
+    reg anneal). The hypothesis under test: the 7× rings degradation
+    (13.5× vs 99× in-dist, runs/generalize_shapes) is missing training
+    coverage, not an architecture limit; re-run generalize_shapes with
+    this entry's ckpt_final to measure all three families after."""
+    from pde_control_tpu.data.generate import generate_forced_smoke_dataset
+    from pde_control_tpu.data.scene import concat_datasets
+
+    domain = Domain2D.create(size, size)
+    cfg = FluidConfig(dt=1.0, buoyancy=0.0, pressure_tol=1e-4,
+                      pressure_maxiter=200, warm_start_pressure=True)
+    n_rings = max(int(num_train * ring_fraction), 1)
+    # Shapes share the base run's generation seed (same distribution);
+    # ring seeds are disjoint from generalize_shapes' eval seed (2999).
+    train = concat_datasets(
+        generate_forced_smoke_dataset(domain, cfg, num_train - n_rings, n,
+                                      seed=0, init="shapes"),
+        generate_forced_smoke_dataset(domain, cfg, n_rings, n,
+                                      seed=7777, init="rings"))
+    val = generate_forced_smoke_dataset(domain, cfg, num_val, n,
+                                        seed=999, init="shapes")
+    pde = IncompressibleFluidPDE(domain, cfg, control="direct",
+                                 unet_levels=3 if size >= 32 else 2)
+    ccfg = CurriculumConfig(n=n, batch_size=batch_size,
+                            e2e_iterations=e2e_iterations or 600,
+                            e2e_lr=5e-5, grad_clip=1.0,
+                            force_reg=1e-5, seed=seed)
+    results = finetune_e2e(pde, ccfg, train, val, workdir, init_from,
+                           mesh=mesh, resume=resume)
+    results["ring_fraction"] = ring_fraction
+    import json
+    import os
+
+    with open(os.path.join(workdir, "results.json"), "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    return results
+
+
 def _smoke_indirect_setup(size: int, n: int, num_train: int, num_val: int,
                           control_amplitude: float,
                           datadir: str | None, width: int = 1):
@@ -187,14 +236,16 @@ def run_smoke_indirect(workdir: str, size: int = 64, n: int = 16,
                        e2e_iterations: int | None = None,
                        mesh=None, datadir: str | None = None,
                        seed: int = 0, resume: bool = False,
-                       width: int = 1) -> dict:
+                       width: int = 1, lr_scale: float = 1.0) -> dict:
     """Config 4: indirect smoke control — inflow-driven plume through an
     obstacle course, buoyancy-only forcing, targets from withheld control.
 
     `control_amplitude` scales the withheld buoyancy-modulation field: it
     sets how far targets deviate from natural evolution (the zero-force
     baseline MSE), i.e. how much signal the controller must supply.
-    `width` multiplies all net widths (the round-4 MXU-fill Pareto run)."""
+    `width` multiplies all net widths (the round-4 MXU-fill Pareto run).
+    `lr_scale` multiplies every stage LR — the batch-scaling protocol
+    (batch 8→64 at matched sample budget uses sqrt(8)≈2.83)."""
     pde, train, val = _smoke_indirect_setup(size, n, num_train, num_val,
                                             control_amplitude, datadir,
                                             width=width)
@@ -205,7 +256,8 @@ def run_smoke_indirect(workdir: str, size: int = 64, n: int = 16,
                             cfe_iterations=iterations,
                             op_iterations=iterations,
                             e2e_iterations=e2e_iterations or iterations,
-                            e2e_lr=1e-4, grad_clip=1.0,
+                            cfe_lr=1e-3 * lr_scale, op_lr=1e-3 * lr_scale,
+                            e2e_lr=1e-4 * lr_scale, grad_clip=1.0,
                             force_reg=3e-5, seed=seed)
     return run_curriculum(pde, ccfg, train, val, workdir, mesh=mesh,
                           resume=resume)
@@ -294,9 +346,15 @@ def run_natural_flow_128(workdir: str, size: int = 64, n: int = 128,
                          num_val: int = 16, batch_size: int = 8,
                          e2e_iterations: int | None = None,
                          mesh=None, datadir: str | None = None,
-                         seed: int = 0, resume: bool = False) -> dict:
+                         seed: int = 0, resume: bool = False,
+                         sequence: str = "staggered") -> dict:
     """Config 5: batched 128-step forced-flow reconstruction, DP mesh —
-    buoyant plumes under withheld random forcing (zero force can't match)."""
+    buoyant plumes under withheld random forcing (zero force can't match).
+
+    `sequence` selects the e2e scheme: 'staggered' (the protocol default)
+    or 'refined' — viable at n=128 only via the scan-based builder
+    (control/sequences.py::run_refined_scan; the unrolled recursion never
+    finished compiling there)."""
     pde, train, val = _natural_flow_setup(size, n, num_train, num_val,
                                           datadir)
     # e2e at n=128 diverged at lr 3e-4 in r2's first pass (loss 1.7e-2 →
@@ -306,6 +364,7 @@ def run_natural_flow_128(workdir: str, size: int = 64, n: int = 128,
                             cfe_iterations=iterations,
                             op_iterations=iterations,
                             e2e_iterations=e2e_iterations or iterations,
+                            e2e_sequence=sequence,
                             e2e_lr=1e-4,
                             e2e_stage_ns=tuple(
                                 s for s in (32, 64) if s < n) + (n,),

@@ -60,6 +60,41 @@ def _row(app, val, n):
     return r
 
 
+def _render_worst(app, val, n, outdir, tag, k=4, chunk=16):
+    """Render the k WORST-controlled validation samples (controlled final
+    vs target vs zero force) — failure-mode diagnosis for the OOD rows
+    (VERDICT r4 item 4: the rings number needs renders, not just a ratio).
+    Returns the worst indices (per-sample final MSE, descending)."""
+    from pde_control_tpu.experiments.curriculum import zero_force_baseline
+    from pde_control_tpu.utils.viz import save_comparison_png
+
+    chunk = min(chunk, len(val))
+    mses, finals, targets, zeros = [], [], [], []
+    for lo in range(0, len(val) - chunk + 1, chunk):
+        batch = val.take(np.arange(lo, lo + chunk))
+        obs_traj, _costs, _final = app.infer_all_frames(batch)
+        gt = np.asarray(batch["obs"])
+        final = np.asarray(obs_traj)[n - 1]
+        err = final - gt[:, n]
+        mses.append(np.mean(err ** 2, axis=tuple(range(1, err.ndim))))
+        finals.append(final)
+        targets.append(gt[:, n])
+        zeros.append(zero_force_baseline(app, batch))
+    mses = np.concatenate(mses)
+    finals = np.concatenate(finals)
+    targets = np.concatenate(targets)
+    zeros = np.concatenate(zeros)
+    worst = np.argsort(mses)[::-1][:k]
+    os.makedirs(outdir, exist_ok=True)
+    for rank, i in enumerate(worst):
+        save_comparison_png(
+            {f"controlled (mse {mses[i]:.2e})": finals[i, ..., 0],
+             "target": targets[i, ..., 0],
+             "zero force": zeros[i, ..., 0]},
+            os.path.join(outdir, f"worst_{tag}_{rank}.png"))
+    return [int(i) for i in worst]
+
+
 def generalize_shapes(workdir: str, init_from: str, size: int = 64,
                       n: int = 16, num_val: int = 32, batch_size: int = 8,
                       smoke_test: bool = False) -> dict:
@@ -89,6 +124,21 @@ def generalize_shapes(workdir: str, init_from: str, size: int = 64,
             "mse": results[family]["final_state_mse"],
             "zero": results[family]["zero_force_final_mse"],
             "ratio": results[family]["ratio_vs_zero_force"]}}), flush=True)
+        # Planning-vs-actuation attribution (VERDICT r4 item 4): the same
+        # CFE with NO OP planning (greedy final-target chain). If the OOD
+        # gap tracks the staggered rows but not these, the failure is in
+        # the OPs' midpoint predictions (planning); if it shows up here
+        # too, the CFE's actuation itself doesn't transfer.
+        app_chain = _eval_app(pde, n, val, {"CFE": init_from},
+                              "chain_final", batch_size=batch_size)
+        results[f"{family}_chain"] = _row(app_chain, val, n)
+        print(json.dumps({f"{family}_chain": {
+            "mse": results[f"{family}_chain"]["final_state_mse"],
+            "ratio": results[f"{family}_chain"]["ratio_vs_zero_force"]}}),
+            flush=True)
+        if family in ("shapes", "rings"):
+            results[f"{family}_worst_idx"] = _render_worst(
+                app, val, n, workdir, family)
     os.makedirs(workdir, exist_ok=True)
     with open(os.path.join(workdir, "results.json"), "w") as f:
         json.dump(results, f, indent=2, default=float)

@@ -28,7 +28,8 @@ def main() -> None:
         "compare_smoke_64", "smoke3d", "smoke3d_indirect",
         "smoke3d_indirect_ft", "smoke3d_ft", "smoke_128", "smoke_128_ft",
         "natural_flow_128_ft", "smoke_indirect_ft",
-        "shape_transition_ft", "generalize_shapes", "generalize_smoke"])
+        "shape_transition_ft", "shape_transition_rings_ft",
+        "generalize_shapes", "generalize_smoke"])
     p.add_argument("--workdir", default=None)
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--smoke-test", action="store_true")
@@ -57,6 +58,16 @@ def main() -> None:
                    help="net-width multiplier (MXU-fill Pareto variant; "
                         "scripts/ab_width.py: 2x width = 4x net FLOPs at "
                         "+27%% iteration wall-clock on v5e)")
+    p.add_argument("--batch", type=int, default=None,
+                   help="batch-size override (batch-scaling operating "
+                        "point; the judged protocol default is 8)")
+    p.add_argument("--lr-scale", type=float, default=None,
+                   help="multiply every stage LR (batch-scaling protocol: "
+                        "sqrt(batch/8) for a matched-sample-budget run)")
+    p.add_argument("--sequence", default=None,
+                   choices=("staggered", "refined"),
+                   help="e2e sequence scheme (refined at n=128 uses the "
+                        "scan-based builder)")
     p.add_argument("--resume", action="store_true",
                    help="skip curriculum stages whose checkpoint already "
                         "exists in --workdir (stage-granular restart of a "
@@ -76,8 +87,13 @@ def main() -> None:
     # Flags only some experiments consume must not be silently ignored —
     # a queued run would execute hours of chip time with defaults.
     ft = {"smoke3d_indirect_ft", "smoke3d_ft", "smoke_128_ft",
-          "natural_flow_128_ft", "smoke_indirect_ft", "shape_transition_ft"}
+          "natural_flow_128_ft", "smoke_indirect_ft", "shape_transition_ft",
+          "shape_transition_rings_ft"}
     supports = {
+        "batch": {"smoke_indirect", "shape_transition", "natural_flow_128",
+                  "smoke_128"},
+        "lr_scale": {"smoke_indirect"},
+        "sequence": {"natural_flow_128"},
         "num_train": {"smoke_indirect", "smoke3d", "smoke3d_indirect",
                       "natural_flow_128", "shape_transition",
                       "smoke_128"} | ft,
@@ -85,7 +101,8 @@ def main() -> None:
                            "natural_flow_128", "smoke_128"} | ft,
         "datadir": {"smoke_indirect", "natural_flow_128",
                     "shape_transition", "smoke_128"} | ft - {
-                        "smoke3d_indirect_ft", "smoke3d_ft"},
+                        "smoke3d_indirect_ft", "smoke3d_ft",
+                        "shape_transition_rings_ft"},
         "seed": {"smoke_indirect", "natural_flow_128", "shape_transition",
                  "smoke3d", "smoke3d_indirect", "smoke_128"} | ft,
         "resume": {"smoke_indirect", "natural_flow_128", "shape_transition",
@@ -93,7 +110,7 @@ def main() -> None:
                    "compare_burgers", "compare_smoke", "compare_smoke_long",
                    "compare_smoke_64"} | ft,
         "init_from": ft | {"generalize_shapes", "generalize_smoke"},
-        "force_reg": ft,
+        "force_reg": ft - {"shape_transition_rings_ft"},
         "width": {"smoke_indirect", "smoke_128", "generalize_smoke"},
         "num_val": {"smoke_indirect", "natural_flow_128", "shape_transition",
                     "smoke_128", "smoke3d", "smoke3d_indirect",
@@ -193,8 +210,20 @@ def main() -> None:
             iterations=it or (10 if st else 500),
             num_train=args.num_train or (16 if st else 256),
             num_val=args.num_val or (8 if st else 32),
-            batch_size=4 if st else 8, mesh=mesh,
+            batch_size=args.batch or (4 if st else 8), mesh=mesh,
             datadir=args.datadir, seed=args.seed or 0, resume=args.resume)
+    elif args.name == "shape_transition_rings_ft":
+        if not args.init_from:
+            p.error("shape_transition_rings_ft requires --init-from "
+                    "(a finished shape_transition run's ckpt_final)")
+        result = fluid2d.run_shape_transition_rings_ft(
+            workdir, init_from=args.init_from,
+            size=16 if st else 64, n=4 if st else 16,
+            e2e_iterations=args.e2e_iterations or (5 if st else None),
+            num_train=args.num_train or (16 if st else 256),
+            num_val=args.num_val or (8 if st else 32),
+            batch_size=4 if st else 8, mesh=mesh, seed=args.seed or 0,
+            resume=args.resume)
     elif args.name == "smoke_128":
         # Stretch config (VERDICT r2 item 8): the indirect smoke task at
         # 128² — proves the stack (fused kernels included; the Pallas VMEM
@@ -205,7 +234,7 @@ def main() -> None:
             e2e_iterations=args.e2e_iterations,
             num_train=args.num_train or (16 if st else 256),
             num_val=args.num_val or (8 if st else 32),
-            batch_size=4 if st else 8, mesh=mesh,
+            batch_size=args.batch or (4 if st else 8), mesh=mesh,
             datadir=args.datadir, seed=args.seed or 0, resume=args.resume,
             width=args.width or 1)
     elif args.name == "smoke_indirect":
@@ -215,9 +244,9 @@ def main() -> None:
             e2e_iterations=args.e2e_iterations,
             num_train=args.num_train or (16 if st else 256),
             num_val=args.num_val or (8 if st else 32),
-            batch_size=4 if st else 8, mesh=mesh,
+            batch_size=args.batch or (4 if st else 8), mesh=mesh,
             datadir=args.datadir, seed=args.seed or 0, resume=args.resume,
-            width=args.width or 1)
+            width=args.width or 1, lr_scale=args.lr_scale or 1.0)
     elif args.name == "smoke3d":
         from pde_control_tpu.experiments.smoke3d import run_smoke3d
 
@@ -331,8 +360,9 @@ def main() -> None:
             e2e_iterations=args.e2e_iterations,
             num_train=args.num_train or (16 if st else 128),
             num_val=args.num_val or (8 if st else 16),
-            batch_size=4 if st else 8, mesh=mesh,
-            datadir=args.datadir, seed=args.seed or 0, resume=args.resume)
+            batch_size=args.batch or (4 if st else 8), mesh=mesh,
+            datadir=args.datadir, seed=args.seed or 0, resume=args.resume,
+            sequence=args.sequence or "staggered")
 
     print(json.dumps(result, indent=2, default=float))
 

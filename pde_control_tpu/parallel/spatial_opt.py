@@ -91,6 +91,7 @@ def optimize_forces_spatial(
     force_reg: float = 1e-3,
     grad_clip: float | None = 1.0,
     remat: bool = True,
+    lr_schedule: str | None = None,  # None | 'cosine' (decay over the run)
 ):
     """Adjoint force optimization through the SHARDED solver.
 
@@ -121,12 +122,18 @@ def optimize_forces_spatial(
             + jnp.sum(forces.vx ** 2, axis=(0, 2, 3)))
         return obs + force_reg * effort, (obs, effort)
 
-    # Solver-in-the-loop invariant (CLAUDE.md): clip by default.
+    # Solver-in-the-loop invariant (CLAUDE.md): clip by default. 'cosine'
+    # decays the LR to ~0 over the run — at transport-scale LRs (0.5-2)
+    # a constant step oscillates around the optimum instead of settling
+    # (measured: 128² reachable-target runs bounced between 1.15x and
+    # 1.6x; with decay the same budget converges monotonically).
+    lr = (optax.cosine_decay_schedule(learning_rate, max(iterations, 1))
+          if lr_schedule == "cosine" else learning_rate)
     if grad_clip is not None:
         optimizer = optax.chain(optax.clip_by_global_norm(grad_clip),
-                                optax.adam(learning_rate))
+                                optax.adam(lr))
     else:
-        optimizer = optax.adam(learning_rate)
+        optimizer = optax.adam(lr)
 
     def opt_step(carry, _):
         forces, opt_state = carry

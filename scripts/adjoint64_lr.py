@@ -59,10 +59,33 @@ if __name__ == "__main__":
             mses.append(float(np.asarray(hist["obs_loss"])[-1]))
             forces_abs.append(float(np.mean(np.asarray(
                 jax.vmap(pde.force_abs_mean)(forces)))))
-        print(json.dumps({"lr": lr,
-                          "final_state_mse": float(np.mean(mses)),
-                          "mse_sem": float(np.std(mses)
-                                           / max(len(mses) - 1, 1) ** .5),
-                          "mean_abs_force": float(np.mean(forces_abs)),
-                          "iterations": iters, "microbatch": MB}),
-              flush=True)
+        row = {"lr": lr,
+               "final_state_mse": float(np.mean(mses)),
+               "mse_sem": float(np.std(mses)
+                                / max(len(mses) - 1, 1) ** .5),
+               "mean_abs_force": float(np.mean(forces_abs)),
+               "iterations": iters, "microbatch": MB}
+        print(json.dumps(row), flush=True)
+        # Land the point in the judged artifact directly (the queue runs
+        # this unattended; round 4's row was assembled by hand).
+        res_path = "runs/adjoint64_lr/results.json"
+        os.makedirs(os.path.dirname(res_path), exist_ok=True)
+        try:
+            with open(res_path) as f:
+                res = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            res = {"entry": "adjoint64_lr",
+                   "protocol": "compare_smoke_64 adjoint row protocol "
+                               "(microbatch 4, force_reg 3e-4), lr sweep",
+                   "rows": []}
+        res["rows"] = [r for r in res.get("rows", [])
+                       if not (r["lr"] == row["lr"]
+                               and r["iterations"] == row["iterations"])]
+        res["rows"].append(row)
+        res["rows"].sort(key=lambda r: (r["lr"], r["iterations"]))
+        from pde_control_tpu.utils.epoch import stamp
+
+        res.pop("vm_epoch", None)
+        stamp(res)
+        with open(res_path, "w") as f:
+            json.dump(res, f, indent=2)

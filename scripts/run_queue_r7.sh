@@ -1,0 +1,114 @@
+#!/bin/bash
+# Round-5 chip/CPU queue — the VERDICT r4 "next round" items, in judge-value
+# order. Launched nohup+setsid (session-death-proof); every item snapshots
+# + commits its small artifacts (a fifth reset must cost nothing).
+#
+#  1. smoke_indirect_b64        batch-64 time-to-quality (VERDICT weak #1):
+#                               matched sample budget (500/1000 iters at
+#                               batch 64 vs 4000/8000 at 8), lr x sqrt(8).
+#  2. natural_flow_128_refined  config 5 TRAINED with the refined scheme —
+#                               viable only via the scan-based builder.
+#  3-4. shape_transition s0/s1  re-earn the seed-0/1 checkpoints (wiped by
+#                               the 4th reset) for the OOD seed spread.
+#  5-7. generalize_shapes x3    re-eval seeds 2/0/1 with the new
+#                               chain-attribution rows + worst renders.
+#  8. rings_ft                  mixed shapes+rings fine-tune (mitigation).
+#  9. generalize_shapes_ringsft all families after the mitigation.
+# 10-11. adjoint64_lr           lr 0.02 point + 1000-iter budget point.
+# 12. spatial_converge          512^2 sharded adjoint to >=2x over zero
+#                               force (CPU mesh; CFL-reachable target).
+#
+# Kill switch: touch /root/repo/.abort_r7. Deadline: chip items skip once
+# $DEADLINE passes (leave the chip quiet for the driver's round-end bench).
+cd /root/repo || exit 1
+mkdir -p runs/queue_logs
+STATUS=runs/queue_logs/r7_status.txt
+: > "$STATUS"
+echo "$$" > runs/queue_logs/r7.pgid
+echo "launch=$(date -u +%F_%H:%M:%S)" >> "$STATUS"
+DEADLINE=$(( $(date +%s) + 19800 ))   # 5.5 h of queue time
+
+abort_requested() { [ -f .abort_r7 ]; }
+
+snapshot_commit() {
+  python scripts/snapshot_artifacts.py >/dev/null 2>&1
+  git add artifacts/ >/dev/null 2>&1
+  git diff --cached --quiet || git commit -q -m "$1" >/dev/null 2>&1
+}
+
+run() {
+  name=$1; budget=$2; shift 2
+  abort_requested && { echo "=== $name ABORTED $(date -u +%H:%M:%S) ===" >> "$STATUS"; exit 0; }
+  if [ "$(date +%s)" -gt "$DEADLINE" ]; then
+    echo "=== $name SKIPPED (deadline) $(date -u +%H:%M:%S) ===" >> "$STATUS"
+    return
+  fi
+  echo "=== $name start $(date -u +%H:%M:%S) (budget ${budget}s) ===" >> "$STATUS"
+  timeout "$budget" "$@" > "runs/queue_logs/${name}_r7.log" 2>&1
+  echo "=== $name rc=$? end $(date -u +%H:%M:%S) ===" >> "$STATUS"
+  snapshot_commit "Snapshot judged artifacts after $name (r7 queue)"
+}
+
+# Chip probe — do not start runs into a wedged tunnel. ADVICE r4 fix: the
+# success line is only written when a probe actually succeeded.
+probe_ok=0
+for i in $(seq 1 20); do
+  timeout 420 python -c "
+import jax, jax.numpy as jnp
+a = jnp.ones((512, 512), jnp.bfloat16)
+print(float((a @ a)[0, 0]))" >/dev/null 2>&1 && { probe_ok=1; break; }
+  echo "probe $i failed $(date -u +%H:%M:%S)" >> "$STATUS"
+  sleep 120
+done
+if [ "$probe_ok" = 1 ]; then
+  echo "probe ok $(date -u +%H:%M:%S)" >> "$STATUS"
+else
+  echo "probe NEVER succeeded; proceeding $(date -u +%H:%M:%S)" >> "$STATUS"
+fi
+
+run smoke_indirect_b64 4800 python -m pde_control_tpu.experiments.run smoke_indirect \
+    --batch 64 --lr-scale 2.83 --iterations 500 --e2e-iterations 1000 \
+    --num-train 512 --datadir data/smoke_indirect --resume \
+    --workdir runs/smoke_indirect_b64
+
+run natural_flow_128_refined 7200 python -m pde_control_tpu.experiments.run natural_flow_128 \
+    --sequence refined --datadir data/natural_flow --resume \
+    --workdir runs/natural_flow_128_refined
+
+run shape_transition_s0 2700 python -m pde_control_tpu.experiments.run shape_transition \
+    --seed 0 --iterations 3500 --num-train 512 \
+    --datadir data/shape_transition --resume --workdir runs/shape_transition_s0r5
+
+run shape_transition_s1 2700 python -m pde_control_tpu.experiments.run shape_transition \
+    --seed 1 --iterations 3500 --num-train 512 \
+    --datadir data/shape_transition --resume --workdir runs/shape_transition_s1r5
+
+for s in s2 s0r5 s1r5; do
+  CKPT=runs/shape_transition_${s}/ckpt_final
+  [ "$s" = s2 ] && OUT=runs/generalize_shapes || OUT=runs/generalize_shapes_${s}
+  [ -d "$CKPT" ] && run generalize_shapes_${s} 1800 \
+      python -m pde_control_tpu.experiments.run generalize_shapes \
+      --init-from "$CKPT" --workdir "$OUT"
+done
+
+[ -d runs/shape_transition_s2/ckpt_final ] && run rings_ft 2400 \
+    python -m pde_control_tpu.experiments.run shape_transition_rings_ft \
+    --init-from runs/shape_transition_s2/ckpt_final \
+    --workdir runs/shape_transition_rings_ft
+
+[ -d runs/shape_transition_rings_ft/ckpt_final ] && run generalize_shapes_ringsft 1800 \
+    python -m pde_control_tpu.experiments.run generalize_shapes \
+    --init-from runs/shape_transition_rings_ft/ckpt_final \
+    --workdir runs/generalize_shapes_ringsft
+
+run adjoint64_lr002 2400 python scripts/adjoint64_lr.py 0.02
+run adjoint64_lr_budget 4200 python scripts/adjoint64_lr.py 0.1 1000
+
+# CPU-only closer (chip already free for the driver's bench).
+run spatial_converge 5400 env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    python scripts/spatial_converge.py --size 512 --iterations 120 --lr 0.25 \
+    --force-reg 1e-7
+
+snapshot_commit "Snapshot judged artifacts at r7 queue completion"
+echo ALL_DONE $(date -u +%H:%M:%S) >> "$STATUS"

@@ -24,6 +24,7 @@ PATTERNS = (
     "runs/*/results.json",
     "runs/*/comparison.json",
     "runs/*/stage_metrics.json",
+    "runs/generalize_*/worst_*.png",  # OOD failure-mode renders (round 5)
     "runs/queue_logs/*_status.txt",
     ".bench_baseline.json",
 )
