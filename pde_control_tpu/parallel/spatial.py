@@ -35,11 +35,14 @@ inside the distributed CG — measured 14-17x fewer iterations than
 plain CG at 128²-512² (475→34, 1768→107; scripts/spatial_scaling.py).
 One-level counts still grow ~O(N) on the benchmark obstacle domains (the
 plates scale WITH the domain, so the un-preconditioned perturbation is
-not local); the 'pcg2' mode adds the two-level fix — a Galerkin
+not local); the 'pcg2' mode adds a two-level variant — a Galerkin
 coarse-space correction over fluid-masked block indicators (A-DEF2
-around the spectral apply; `_PressureOps._coarse_setup`), measured 39→27
-iterations at 128² (tests/_spatial_equality_check.py --iters2) with the
-gap growing with N (scripts/spatial_scaling.py). Generic GSPMD helpers
+around the spectral apply; `_PressureOps._coarse_setup`). Round-5
+pricing (scripts/spatial_scaling.py, 128²-512²): the trip cut is
+CONSTANT in N (34→23, 57→40, 107→71 ≈ 1.45×) at 1.3-1.8× more wall per
+solve — not a scaling win, so 'auto' routes to one-level 'pcg' and
+'pcg2' stays opt-in (gradient-pinned) for regimes where the coarse
+solve amortizes. Generic GSPMD helpers
 (`spatial_spec`/`spatial_shard`) remain for divisible-axis pytrees
 (centered fields, batches, 3D volumes).
 """
