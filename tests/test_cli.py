@@ -27,6 +27,13 @@ def _main(argv, monkeypatch):
     ["burgers_chain", "--num-train", "0"],
     ["burgers_chain", "--e2e-iterations", "5"],
     ["burgers_chain", "--resume"],
+    # Round-5 flags gate like the rest: --batch/--lr-scale/--sequence on
+    # entries that don't thread them, --datadir/--force-reg on rings_ft.
+    ["burgers_chain", "--batch", "64"],
+    ["shape_transition", "--lr-scale", "2.83"],
+    ["smoke_indirect", "--sequence", "refined"],
+    ["shape_transition_rings_ft", "--datadir", "/tmp/x"],
+    ["shape_transition_rings_ft", "--force-reg", "1e-5"],
 ])
 def test_unsupported_flags_error(argv, monkeypatch, capsys):
     with pytest.raises(SystemExit) as e:
@@ -38,6 +45,7 @@ def test_unsupported_flags_error(argv, monkeypatch, capsys):
 @pytest.mark.parametrize("name", [
     "smoke3d_ft", "smoke3d_indirect_ft", "natural_flow_128_ft",
     "smoke_indirect_ft", "smoke_128_ft", "shape_transition_ft",
+    "shape_transition_rings_ft",
 ])
 def test_finetune_entries_require_init_from(name, monkeypatch, capsys):
     with pytest.raises(SystemExit) as e:
