@@ -70,16 +70,27 @@ def _render_worst(app, val, n, outdir, tag, k=4, chunk=16):
 
     chunk = min(chunk, len(val))
     mses, finals, targets, zeros = [], [], [], []
-    for lo in range(0, len(val) - chunk + 1, chunk):
+    # Cover the WHOLE set: fixed-size chunks (one compiled program), with
+    # a final END-ALIGNED chunk for any tail — overlapping indices are
+    # deduplicated below, so no sample can hide from the worst-k scan.
+    starts = list(range(0, len(val) - chunk + 1, chunk))
+    if starts[-1] + chunk < len(val):
+        starts.append(len(val) - chunk)
+    seen: set[int] = set()
+    for lo in starts:
+        idx = [i for i in range(lo, lo + chunk) if i not in seen]
+        seen.update(idx)
+        keep = np.asarray([i - lo for i in idx])
         batch = val.take(np.arange(lo, lo + chunk))
         obs_traj, _costs, _final = app.infer_all_frames(batch)
         gt = np.asarray(batch["obs"])
         final = np.asarray(obs_traj)[n - 1]
         err = final - gt[:, n]
-        mses.append(np.mean(err ** 2, axis=tuple(range(1, err.ndim))))
-        finals.append(final)
-        targets.append(gt[:, n])
-        zeros.append(zero_force_baseline(app, batch))
+        mses.append(np.mean(err ** 2,
+                            axis=tuple(range(1, err.ndim)))[keep])
+        finals.append(final[keep])
+        targets.append(gt[keep, n])
+        zeros.append(np.asarray(zero_force_baseline(app, batch))[keep])
     mses = np.concatenate(mses)
     finals = np.concatenate(finals)
     targets = np.concatenate(targets)

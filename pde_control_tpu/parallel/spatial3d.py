@@ -376,7 +376,7 @@ def spatial_fluid3d_step(
         qz = qy = qx = inv_lam = None
 
     def local_step(vz_lo, vz_top, vy, vx, density, inflow, x0,
-                   fz_lo, fz_top, fy, fx, buoy, fluid, acc_z_lo, acc_z_top,
+                   fz_lo, fy, fx, buoy, fluid, acc_z_lo, acc_z_top,
                    acc_y, acc_x, qz, qy, qx, inv_lam):
         idx = lax.axis_index(SPACE_AXIS)
         top = idx == r - 1
@@ -436,6 +436,10 @@ def spatial_fluid3d_step(
             vx, s * vz_at_x, s * vy_at_x, s * vx, k, vx_below, vx_above)
 
         # --- forces / buoyancy (on the ADVECTED density, as in 3D step) --
+        # The force's global top z-face component is dropped along with
+        # the velocity's: on closed domains the dense step's projection
+        # masks that face to zero (acc_z top row is a wall), so it never
+        # affects the state — verified by the dense-pinning tests.
         if fz_lo is not None:
             vz_new = vz_new + dt * fz_lo
             vy_new = vy_new + dt * fy
@@ -493,7 +497,6 @@ def spatial_fluid3d_step(
     vz_top = state.velocity.vz[:, -1:]
     has_force = force is not None
     fz_lo = force.vz[:, :-1] if has_force else None
-    fz_top = force.vz[:, -1:] if has_force else None
     fy = force.vy if has_force else None
     fx = force.vx if has_force else None
     buoy = buoyancy_factor
@@ -505,14 +508,13 @@ def spatial_fluid3d_step(
     x0 = state.pressure
 
     args = (vz_lo, vz_top, state.velocity.vy, state.velocity.vx,
-            state.density, inflow, x0, fz_lo, fz_top, fy, fx, buoy,
+            state.density, inflow, x0, fz_lo, fy, fx, buoy,
             domain.fluid_mask, domain.acc_z[:-1], domain.acc_z[-1:],
             domain.acc_y, domain.acc_x, qz, qy, qx, inv_lam)
     specs = (bspec, tspec, bspec, bspec, bspec,
              bspec if inflow is not None else None,
              bspec if x0 is not None else None,
              bspec if has_force else None,
-             tspec if has_force else None,
              bspec if has_force else None,
              bspec if has_force else None,
              (bspec if buoy_full else tspec) if buoy is not None else None,

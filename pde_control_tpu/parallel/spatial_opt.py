@@ -127,6 +127,8 @@ def optimize_forces_spatial(
     # a constant step oscillates around the optimum instead of settling
     # (measured: 128² reachable-target runs bounced between 1.15x and
     # 1.6x; with decay the same budget converges monotonically).
+    if lr_schedule not in (None, "cosine"):
+        raise ValueError(f"unknown lr_schedule {lr_schedule!r}")
     lr = (optax.cosine_decay_schedule(learning_rate, max(iterations, 1))
           if lr_schedule == "cosine" else learning_rate)
     if grad_clip is not None:

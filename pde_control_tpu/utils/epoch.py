@@ -69,7 +69,10 @@ def vm_epoch(path: str = _EPOCH_FILE) -> str:
     if v:
         return v
     token = uuid.uuid4().hex[:12]
-    tmp = f"{path}.tmp.{os.getpid()}"
+    # uuid-keyed tmp (not pid): a stale tmp from a crashed process + PID
+    # reuse would otherwise EEXIST here and spuriously take the
+    # machine-id fallback while the epoch file still doesn't exist.
+    tmp = f"{path}.tmp.{token}"
     try:
         fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
         with os.fdopen(fd, "w") as f:

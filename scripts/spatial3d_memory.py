@@ -22,6 +22,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import __graft_entry__  # noqa: F401  (persistent compile cache)
+
 import numpy as np
 
 import jax

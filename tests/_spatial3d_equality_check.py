@@ -160,13 +160,28 @@ def main_iters() -> None:
     mesh = make_mesh2d(1, 8)
     fn = jax.jit(spatial_pressure_solve3d_diag,
                  static_argnames=("mesh", "mode", "tol", "maxiter"))
-    _, it_jax = fn(div, domain, mesh=mesh, mode="jax", tol=1e-5, maxiter=2000)
-    p, it_pcg = fn(div, domain, mesh=mesh, mode="pcg", tol=1e-5, maxiter=2000)
+    tol = 1e-5
+    _, it_jax = fn(div, domain, mesh=mesh, mode="jax", tol=tol, maxiter=2000)
+    p, it_pcg = fn(div, domain, mesh=mesh, mode="pcg", tol=tol, maxiter=2000)
     print("iters jax", int(it_jax), "pcg", int(it_pcg))
     assert int(it_pcg) * 3 <= int(it_jax), (int(it_jax), int(it_pcg))
-    # the preconditioned solution must satisfy the same residual bound:
-    # re-apply through the diagnostic 'jax' operator via a one-step check
-    assert np.isfinite(np.asarray(p)).all()
+    # The preconditioned iterate must actually SOLVE the system, not just
+    # stop early: re-apply the dense gated operator (masked_laplace_spd is
+    # dimension-agnostic; Domain3D duck-types it) and check the residual
+    # against the deflated rhs to the CG tolerance.
+    from pde_control_tpu.physics.poisson import masked_laplace_spd
+
+    p = np.asarray(p)
+    fluid = np.asarray(domain.fluid_mask)
+    rhs = np.asarray(div[0]) * -1.0 * fluid
+    rhs = np.where(fluid > 0, rhs - rhs[fluid > 0].mean(), 0.0)[None]
+    ap = np.asarray(masked_laplace_spd(jnp.asarray(p), domain))
+    ap = np.where(fluid[None] > 0,
+                  ap - ap[0][fluid > 0].mean(), ap)  # deflated comparison
+    res = np.linalg.norm((ap - rhs)[0][fluid > 0])
+    bnorm = max(np.linalg.norm(rhs[0][fluid > 0]), 1e-30)
+    print("relative residual", res / bnorm)
+    assert res / bnorm <= 10 * tol, (res, bnorm)
     print("SPATIAL3D_ITERS_OK")
 
 
