@@ -48,5 +48,12 @@ echo "r10 exited $(date -u +%H:%M:%S)" >> "$STATUS"
 run bench_warm 1500 python bench.py
 run adjoint64_lr002 2700 python scripts/adjoint64_lr.py 0.02
 
+# Whatever window remains goes to the refined config-5 training; it is
+# --resume-able at stage granularity, so even a deadline-clamped partial
+# leaves the dataset + early stages on disk with an honest log.
+run natural_flow_128_refined 5400 python -m pde_control_tpu.experiments.run natural_flow_128 \
+    --sequence refined --datadir data/natural_flow --resume \
+    --workdir runs/natural_flow_128_refined
+
 snapshot_commit "Snapshot judged artifacts at r11 queue completion"
 echo ALL_DONE $(date -u +%H:%M:%S) >> "$STATUS"
